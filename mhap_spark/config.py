@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference CLI defaults and presets
+(mhap/main/MhapMain.java:67-91 for defaults, :137-198 for the
+--settings 1/2/3 presets).  The graft recasts sequences → image+caption
+rows (BASELINE.json input_hint), so ``k`` is the caption character-shingle
+size and ``phash_ngram_bits`` the width of phash-derived bit n-grams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class MhapConfig:
+    # --- shingling (mhap/main/MhapMain.java:75 k=16) ---
+    k: int = 16                      # caption char k-gram size
+    phash_ngram_bits: int = 16       # width of phash bit n-gram windows
+    use_caption_shingles: bool = True
+    use_phash_shingles: bool = True
+
+    # --- stage 1: weighted MinHash (mhap/main/MhapMain.java:77 num-hashes=512) ---
+    num_hashes: int = 512
+    # tf-idf repeat down-weighting (mhap/main/MhapMain.java:69-73:
+    #   repeat-weight=0.9, repeat-idf-scale=3.0, filter-cutoff=1e-5)
+    repeat_weight: float = 0.9       # <0 disables tf-idf (original MHAP mode)
+    idf_scale: float = 3.0           # scaledIdf range [1, idf_scale]
+    filter_cutoff: float = 1e-5      # df-ratio below this → treated as rare
+    idf_offset: float = 0.0          # mhap/sketch/FrequencyCounts.java:252 offset
+    max_weight: int = 32             # vectorization bound on round(tf*idf)
+
+    # --- candidate generation (mhap/main/MhapMain.java:83 num-min-matches=3) ---
+    rows_per_band: int = 1           # r=1 ≡ MHAP slot-exact voting; r>1 = LSH bands
+    num_min_matches: int = 3         # min shared bands (slots when r=1)
+    max_bucket_size: int = 512       # noise-suppression cap on band buckets
+                                     # (scale analog of tf-idf popular-kmer removal,
+                                     #  mhap/sketch/FrequencyCounts.java:171-186)
+
+    # --- stage 2: bottom-k Jaccard refinement ---
+    ordered_sketch_size: int = 1536  # bottom-k size (mhap/main/MhapMain.java:85)
+    threshold: float = 0.78          # identity-score accept gate (mhap/main/MhapMain.java:67)
+    min_jaccard: float = 0.0         # optional direct jaccard gate (0 = off)
+
+    # --- clustering ---
+    cc_max_iters: int = 50
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 2048
+    salt_buckets: int = 8            # salt fan-out for hot-band pair generation
+
+    def band_count(self) -> int:
+        return self.num_hashes // self.rows_per_band
+
+    def min_band_matches(self) -> int:
+        """Vote gate in band units: with r slots per band, m shared slots
+        correspond to ceil(m / r) shared bands (r=1 → exactly MHAP's gate,
+        mhap/impl/MinHashSearch.java:204)."""
+        return max(1, -(-self.num_min_matches // self.rows_per_band))
+
+    def config_hash(self) -> str:
+        """Stable hash of all semantic knobs — keys checkpoint manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_overrides(self, **kw) -> "MhapConfig":
+        return replace(self, **kw)
+
+
+# Presets mirroring mhap/main/MhapMain.java:137-198 (--settings 1/2/3).
+PRESET_DEFAULT = MhapConfig()
+PRESET_FAST = MhapConfig(num_hashes=256, threshold=0.80, ordered_sketch_size=1000)
+PRESET_SENSITIVE = MhapConfig(num_hashes=768, num_min_matches=2, threshold=0.73)
+
+PRESETS = {1: PRESET_DEFAULT, 2: PRESET_FAST, 3: PRESET_SENSITIVE}

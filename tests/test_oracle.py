@@ -1,0 +1,119 @@
+"""Oracle (single-node reference implementation) self-consistency tests —
+mirrors the reference's statistical validation strategy (SURVEY.md §5.1):
+Jaccard-estimation properties (mhap/main/KmerStatSimulator.java) and
+sensitivity on planted duplicates (mhap/main/EstimateROC.java)."""
+
+import numpy as np
+import pytest
+
+from mhap_spark.config import MhapConfig
+from mhap_spark import oracle
+from mhap_spark.synth import generate_corpus, truth_pairs
+
+CFG_SMALL = MhapConfig(num_hashes=128)  # faster unit-tier sketching
+
+
+def test_bottom_k_jaccard_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pool = rng.integers(1, 2**62, size=300, dtype=np.uint64)
+    a = np.unique(rng.choice(pool, 120))
+    b = np.unique(rng.choice(pool, 120))
+    k = min(len(a), len(b))
+    union_k = np.unique(np.concatenate([a, b]))[:k]
+    want = len(np.intersect1d(union_k, np.intersect1d(a, b))) / k
+    assert oracle.bottom_k_jaccard(a, b) == pytest.approx(want)
+
+
+def test_bottom_k_jaccard_identical_and_disjoint():
+    a = np.array([1, 2, 3, 4, 5], dtype=np.uint64)
+    b = np.array([6, 7, 8, 9, 10], dtype=np.uint64)
+    assert oracle.bottom_k_jaccard(a, a) == 1.0
+    assert oracle.bottom_k_jaccard(a, b) == 0.0
+    assert oracle.bottom_k_jaccard(a[:0], b) == 0.0
+
+
+def test_jaccard_to_identity():
+    # identity(1.0) == 1.0; monotone; matches closed form
+    assert oracle.jaccard_to_identity(1.0, 16) == pytest.approx(1.0)
+    lo = oracle.jaccard_to_identity(0.01, 16)
+    hi = oracle.jaccard_to_identity(0.5, 16)
+    assert 0 < lo < hi < 1.0
+    import math
+
+    want = math.exp(1.0 / 16 * math.log(2 * 0.5 / 1.5))
+    assert hi == pytest.approx(want)
+
+
+def test_minhash_estimates_jaccard():
+    """Property (mhap/main/KmerStatSimulator.java analog): E[sig agreement]
+    ≈ true Jaccard within a binomial CI at n=256 slots, unweighted mode."""
+    cfg = MhapConfig(num_hashes=256, repeat_weight=-1.0)
+    rng = np.random.default_rng(1)
+    pool = rng.integers(1, 2**62, size=400, dtype=np.uint64)
+    shared = pool[:200]
+    a = np.concatenate([shared, pool[200:300]])
+    b = np.concatenate([shared, pool[300:400]])
+    true_j = 200 / 400
+    sa = oracle.weighted_minhash(a, cfg, None)
+    sb = oracle.weighted_minhash(b, cfg, None)
+    est = (sa == sb).mean()
+    se = (true_j * (1 - true_j) / cfg.num_hashes) ** 0.5
+    assert abs(est - true_j) < 4 * se + 0.02
+
+
+def test_weighted_minhash_downweights_repeats():
+    """A k-mer repeated 10× dominates unweighted sketches; tf-idf weighting
+    with a popular (high-df) k-mer should reduce its slot share."""
+    cfg = MhapConfig(num_hashes=256)
+    rep = np.uint64(12345)
+    rest = np.arange(100, 200, dtype=np.uint64)
+    sh = np.concatenate([np.repeat(rep, 10), rest])
+    # popular k-mer: df ratio 0.9 (appears in 90% of docs) → scaledIdf → 1
+    ratios = {int(rep): 0.9, **{int(h): 2e-5 for h in rest}}
+    freq = oracle.FreqFilter(ratios, cfg)
+    sig_w = oracle.weighted_minhash(sh, cfg, freq)
+    # tf-only mode: weight = tf = 10 for rep
+    cfg_tf = cfg.with_overrides(repeat_weight=1.0)
+    sig_tf = oracle.weighted_minhash(sh, cfg_tf, None)
+
+    lo = np.int32(np.uint32(int(rep) & 0xFFFFFFFF))
+    share_w = (sig_w[::2] == lo).mean()
+    share_tf = (sig_tf[::2] == lo).mean()
+    assert share_w < share_tf
+
+
+def test_freqfilter_scaled_idf_range():
+    cfg = MhapConfig()
+    ratios = {1: 0.5, 2: 0.01, 3: 1e-4}
+    f = oracle.FreqFilter(ratios, cfg)
+    # most common → 1.0; rarest retained → idf_scale; missing → idf_scale
+    assert f.scaled_idf(1) == pytest.approx(1.0)
+    assert 1.0 <= f.scaled_idf(2) <= cfg.idf_scale + 1e-9
+    assert f.scaled_idf(999) == cfg.idf_scale
+
+
+def test_connected_components_simple():
+    ids = ["a", "b", "c", "d", "e"]
+    cl = oracle.connected_components(ids, [("a", "b"), ("b", "c"), ("d", "e")])
+    assert cl["a"] == cl["b"] == cl["c"] == "a"
+    assert cl["d"] == cl["e"] == "d"
+
+
+def test_oracle_pipeline_recall_on_planted_clusters():
+    """End-to-end sanity of the oracle itself on a small corpus: the oracle's
+    clusters must reproduce ≥0.99 of planted truth pairs (EstimateROC analog)."""
+    corpus = generate_corpus(200, seed=42)
+    pairs, clusters = oracle.run_pipeline(corpus, CFG_SMALL)
+    truth = truth_pairs(corpus["true_cluster"], corpus["image_id"])
+    if not truth:
+        pytest.skip("no planted pairs at this size")
+    found = 0
+    for a, b in truth:
+        if clusters[a] == clusters[b]:
+            found += 1
+    recall = found / len(truth)
+    assert recall >= 0.99, f"oracle recall {recall:.3f}"
+    # and no wild over-merging: #false pairs bounded
+    all_pairs = {(a, b) for a, b, *_ in pairs}
+    fp = len(all_pairs - truth)
+    assert fp <= max(5, 0.05 * len(truth)), f"{fp} false-positive pairs"
