@@ -1,0 +1,142 @@
+"""Stage-1 candidate generation: LSH band buckets → pairs → vote gate.
+
+Spark-first re-expression of the reference's inverted index + vote counting
+(mhap/impl/MinHashSearch.java:85-204): the per-slot hash maps become a
+shuffle on (band_idx, band_hash); the per-probe vote counter becomes
+``groupBy(src, dst).count()``; the ``numMinMatches`` gate (:204) becomes a
+HAVING filter.  Pair-order dedup (``src < dst``, :199-219) is a predicate.
+
+Skew handling (north rule "salted repartition + hash-join + groupBy with
+explicit skew mitigation for hot bands"):
+
+* a map-side-combinable count pre-pass sizes every bucket BEFORE any list is
+  collected, so a mega-bucket can never materialize;
+* buckets larger than ``max_bucket_size`` are dropped and accounted in a
+  metrics row — the scale analog of the reference's popular-k-mer noise
+  suppression (mhap/sketch/FrequencyCounts.java:171-186);
+* pair generation offers two physical strategies (bench-selected):
+  - ``join``: salted self-equi-join on the band key — hot buckets are salted
+    on the left and replicated on the right so no single task owns a hot key;
+  - ``grouped``: collect bucket members (bounded by the cap) and emit pairs
+    with two JVM-side explodes — one shuffle fewer, best when caps are tight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mhap_spark.config import MhapConfig
+
+
+def exploded_bands(signatures: DataFrame) -> DataFrame:
+    """(image_id, band_idx, band_hash) — one row per signature band."""
+    return signatures.select(
+        "image_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+
+
+def bucket_sizes(bands: DataFrame) -> DataFrame:
+    """Bucket cardinalities; partial-agg safe under skew."""
+    return bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+
+
+def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
+    """One-row funnel metrics (mirrors the reference's stderr stats,
+    mhap/main/MhapMain.java:572-590)."""
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1).otherwise(0)).alias(
+            "n_buckets_capped"
+        ),
+        F.max("bucket_size").alias("max_bucket_size_seen"),
+        F.sum(
+            F.when(
+                F.col("bucket_size").between(2, cfg.max_bucket_size),
+                F.col("bucket_size") * (F.col("bucket_size") - 1) / 2,
+            ).otherwise(0)
+        ).alias("candidate_pairs_generated"),
+    )
+
+
+def _eligible_bands(bands: DataFrame, sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
+    ok = sizes.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
+    )
+    return bands.join(ok, ["band_idx", "band_hash"]).select(
+        "image_id", "band_idx", "band_hash", "bucket_size"
+    )
+
+
+def _pairs_grouped(eligible: DataFrame) -> DataFrame:
+    """collect_list (bounded by the cap) + double explode — zero extra shuffle
+    beyond the groupBy; pairs are emitted inside whole-stage codegen."""
+    grouped = eligible.groupBy("band_idx", "band_hash").agg(
+        F.collect_list("image_id").alias("ids")
+    )
+    return (
+        grouped.select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
+
+
+def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> DataFrame:
+    """Salted self-equi-join.  Cold buckets join on the bare band key; hot
+    buckets (size > hot_threshold) get the classic skew treatment: the left
+    side carries salt = pmod(hash(id), S), the right side is replicated to
+    every salt, so each unordered pair is produced exactly once and no task
+    owns an entire hot bucket."""
+    s = cfg.salt_buckets
+    cold = eligible.filter(F.col("bucket_size") <= hot_threshold)
+    hot = eligible.filter(F.col("bucket_size") > hot_threshold)
+
+    cold_pairs = (
+        cold.alias("l")
+        .join(
+            cold.select("image_id", "band_idx", "band_hash").alias("r"),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("l.image_id") < F.col("r.image_id"))
+        .select(F.col("l.image_id").alias("src"), F.col("r.image_id").alias("dst"))
+    )
+
+    hot_l = hot.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(s)))
+    hot_r = hot.select("image_id", "band_idx", "band_hash").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<long>"))
+    )
+    hot_pairs = (
+        hot_l.alias("l")
+        .join(hot_r.alias("r"), ["band_idx", "band_hash", "salt"])
+        .where(F.col("l.image_id") < F.col("r.image_id"))
+        .select(F.col("l.image_id").alias("src"), F.col("r.image_id").alias("dst"))
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    cfg: MhapConfig,
+    strategy: str = "grouped",
+    hot_threshold: int = 64,
+) -> DataFrame:
+    """signatures → (src, dst, votes) with src < dst, votes ≥ min gate.
+
+    votes = number of shared bands (shared slots when rows_per_band=1 —
+    exactly the reference's vote semantics, mhap/impl/MinHashSearch.java:161-204).
+    """
+    bands = exploded_bands(signatures)
+    sizes = bucket_sizes(bands)
+    eligible = _eligible_bands(bands, sizes, cfg)
+    if strategy == "grouped":
+        pairs = _pairs_grouped(eligible)
+    elif strategy == "join":
+        pairs = _pairs_join(eligible, cfg, hot_threshold)
+    else:
+        raise ValueError(f"unknown candidate strategy {strategy!r}")
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= F.lit(cfg.min_band_matches()))
+    )

@@ -1,0 +1,88 @@
+"""Iterative DataFrame connected components: large-star / small-star.
+
+No reference analog (clustering is the graft's addition per the north rule);
+algorithm from Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14) — converges in O(log n) rounds, each round two
+groupBy-min + join passes over the edge set.  ``localCheckpoint`` after each
+round cuts the lineage so plans stay bounded at web scale; convergence is
+detected by an (edge-count, order-insensitive checksum) fixpoint, no
+driver-side edge collection ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each high node a: m = min neighbors;
+    emit (b, m) for b in N(a) ∪ {a}, b ≠ m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("a").alias("src"), F.col("m").alias("dst"))
+    return (
+        nbr_edges.unionAll(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, vertices: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """pairs(src,dst) + vertices(image_id) → (image_id, cluster_id string).
+
+    cluster_id = minimum member id of the component (FIXTURES.md F4);
+    singletons map to themselves.
+    """
+    edges = pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint()
+    prev = _checksum(edges)
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At the fixpoint every edge is (member → root). Roots + singletons map to self.
+    member_root = edges.select(
+        F.col("src").alias("image_id"), F.col("dst").alias("cluster_id")
+    )
+    return (
+        vertices.select("image_id")
+        .join(member_root, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("cluster_id", "image_id").alias("cluster_id"),
+        )
+    )

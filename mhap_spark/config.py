@@ -42,7 +42,10 @@ class MhapConfig:
     # --- stage 2: bottom-k Jaccard refinement ---
     ordered_sketch_size: int = 1536  # bottom-k size (mhap/main/MhapMain.java:85)
     threshold: float = 0.78          # identity-score accept gate (mhap/main/MhapMain.java:67)
-    min_jaccard: float = 0.0         # optional direct jaccard gate (0 = off)
+    min_jaccard: float = 0.04        # direct jaccard gate — image+caption domain
+                                     # operating point (DNA's τ=0.78 identity ≈
+                                     # jaccard 0.0095, too loose for near-dup
+                                     # images; 0 disables)
 
     # --- clustering ---
     cc_max_iters: int = 50

@@ -1,0 +1,107 @@
+"""Corpus document-frequency (tf-idf) table — in-engine analog of the
+reference's external k-mer frequency file (mhap/sketch/FrequencyCounts.java:63-229;
+the reference outsources this count to Jellyfish, we compute it with one
+groupBy, SURVEY.md §2.4).
+
+The retained table (df_ratio ≥ filter_cutoff) is small by construction —
+total ratio mass is bounded by avg-shingles-per-doc, so at cutoff c there are
+at most (avg_shingles/c) entries, and in practice only genuinely hot shingles
+survive at web scale.  It is collected once and broadcast into the sketch
+kernel as two sorted numpy arrays (binary-search lookup, zero per-row Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from mhap_spark.config import MhapConfig
+from mhap_spark.shingles import batch_shingles, distinct_per_row
+
+
+def distinct_shingle_df(df: DataFrame, cfg: MhapConfig) -> DataFrame:
+    """(shingle_hash long) — one row per (document, distinct shingle)."""
+    schema = StructType([StructField("shingle_hash", LongType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
+            _, keys, _, _ = distinct_per_row(flat, offs)
+            yield pd.DataFrame({"shingle_hash": keys.view(np.int64)})
+
+    return df.select("caption", "phash").mapInPandas(gen, schema)
+
+
+def df_ratio_table(df: DataFrame, cfg: MhapConfig, n_docs: int | None = None) -> DataFrame:
+    """(shingle_hash long, df_ratio double) with df_ratio ≥ filter_cutoff.
+
+    groupBy is map-side combinable (partial agg), so hot shingles don't skew."""
+    n = n_docs if n_docs is not None else df.count()
+    return (
+        distinct_shingle_df(df, cfg)
+        .groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .select(
+            "shingle_hash",
+            (F.col("df_count") / F.lit(float(n))).alias("df_ratio"),
+        )
+        .filter(F.col("df_ratio") >= F.lit(cfg.filter_cutoff))
+    )
+
+
+@dataclass
+class FreqTable:
+    """Driver-side frozen frequency table → broadcast into kernels.
+
+    scaled_idf semantics exactly mirror mhap/sketch/FrequencyCounts.java:
+    present key → 1 + (idf(val) − minIdf)/scale; missing key → idf_scale
+    (:295-311); idf(f) = log(maxValue/f − offset) (:250-253);
+    minIdf = idf(maxValue), maxIdf = idf(filter_cutoff) (:227-228)."""
+
+    keys: np.ndarray      # uint64, ascending
+    ratios: np.ndarray    # float64, aligned
+    cfg_idf_scale: float
+    cfg_offset: float
+    filter_cutoff: float
+
+    @classmethod
+    def from_df(cls, ratio_df: DataFrame, cfg: MhapConfig) -> "FreqTable":
+        pdf = ratio_df.toPandas()
+        keys = pdf["shingle_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        ratios = pdf["df_ratio"].to_numpy(dtype=np.float64)
+        order = np.argsort(keys)
+        return cls(
+            keys=keys[order],
+            ratios=ratios[order],
+            cfg_idf_scale=cfg.idf_scale,
+            cfg_offset=cfg.idf_offset,
+            filter_cutoff=cfg.filter_cutoff,
+        )
+
+    def _bounds(self) -> tuple[float, float, float]:
+        max_value = float(self.ratios.max()) if len(self.ratios) else 1.0
+        min_idf = float(np.log(max_value / max_value - self.cfg_offset))
+        max_idf = float(np.log(max_value / self.filter_cutoff - self.cfg_offset))
+        return max_value, min_idf, max_idf
+
+    def scaled_idf(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized lookup: keys uint64 → scaled idf in [1, idf_scale]."""
+        out = np.full(len(keys), self.cfg_idf_scale, dtype=np.float64)
+        if not len(self.keys):
+            return out
+        max_value, min_idf, max_idf = self._bounds()
+        pos = np.searchsorted(self.keys, keys)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        hit = self.keys[pos_c] == keys
+        if max_idf == min_idf:
+            out[hit] = 1.0
+            return out
+        scale = (max_idf - min_idf) / (self.cfg_idf_scale - 1.0)
+        idf = np.log(max_value / self.ratios[pos_c[hit]] - self.cfg_offset)
+        out[hit] = 1.0 + (idf - min_idf) / scale
+        return out

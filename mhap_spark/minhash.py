@@ -1,0 +1,186 @@
+"""Stage-1 sketch kernel: weighted MinHash + bottom-k + LSH band hashes.
+
+Semantics are a batch-vectorized re-expression of
+mhap/sketch/MinHashSketch.java:51-154:
+
+* per-row distinct shingles with term frequencies (insertion order replaced
+  by hash order — winners are decided by strict value comparisons, so order
+  only breaks 2⁻⁶⁴-probability ties);
+* weight = round(tf · scaledIdf) clamped to [1, max_weight]
+  (mhap/sketch/MinHashSketch.java:111-124);
+* ONE continuous XORShift stream per shingle, advanced ``weight`` steps per
+  slot (:134-153) — the stream does NOT reset between slots;
+* per-slot minimum in Java's SIGNED long order (``x < best[word]`` on long);
+* slot stores the winning shingle's 32-bit half: even slot → low 32 bits,
+  odd slot → high (:144-151);
+* bottom-k sketch = k smallest distinct shingle hashes, ascending
+  (mhap/sketch/BottomOverlapSketch.java:525-559, positions dropped per
+  SURVEY.md §1.2 — images have no 1-D coordinate);
+* band hashes fold ``rows_per_band`` consecutive slots per band
+  (mhap/sketch/BitVectorIndex.java:129-165's banding, keyed by fmix64).
+
+Everything below runs on whole Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mhap_spark.config import MhapConfig
+from mhap_spark.freq import FreqTable
+from mhap_spark.hashing import fmix64, xorshift_step
+from mhap_spark.shingles import batch_shingles, distinct_per_row
+
+_INT64_MAX = np.iinfo(np.int64).max
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_shingles", IntegerType()),
+        StructField("sig", ArrayType(IntegerType())),
+        StructField("bottomk", ArrayType(LongType())),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
+
+def batch_weights(
+    keys: np.ndarray, tfs: np.ndarray, cfg: MhapConfig, freq: FreqTable | None
+) -> np.ndarray:
+    """weight = round(tf·scaledIdf) clamped ≥1 (Java Math.round = floor(x+.5))."""
+    if cfg.repeat_weight < 0.0:
+        w = np.ones(len(keys), dtype=np.int64)
+    elif freq is not None and 0.0 <= cfg.repeat_weight < 1.0:
+        idf = freq.scaled_idf(keys)
+        w = np.floor(tfs.astype(np.float64) * idf + 0.5).astype(np.int64)
+        w = np.maximum(w, 1)
+    else:
+        w = tfs.astype(np.int64)
+    return np.minimum(w, cfg.max_weight)
+
+
+def batch_minhash(
+    rows: np.ndarray,
+    keys: np.ndarray,
+    weights: np.ndarray,
+    row_starts: np.ndarray,
+    num_hashes: int,
+) -> np.ndarray:
+    """Weighted MinHash over a whole batch at once.
+
+    rows/keys/weights: flat per-(row,distinct-shingle) arrays (rows ascending);
+    row_starts: (n_rows+1) segment offsets into them.
+    Returns (n_rows, num_hashes) int32 signature matrix.
+    """
+    n_rows = len(row_starts) - 1
+    n_keys = len(keys)
+    sig = np.zeros((n_rows, num_hashes), dtype=np.int32)
+    if n_keys == 0:
+        return sig
+    key_lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    key_hi = (keys >> np.uint64(32)).astype(np.uint32).view(np.int32)
+
+    x = keys.astype(np.uint64, copy=True)
+    max_w = int(weights.max())
+    # pre-build step masks once: step s active where s < weight
+    masks = [weights > s for s in range(max_w)]
+    seg = row_starts
+    empty_rows = seg[:-1] == seg[1:]
+
+    for word in range(num_hashes):
+        # advance every stream `weight` steps; track per-key min for this slot
+        best_k = np.full(n_keys, _INT64_MAX, dtype=np.int64)
+        for s in range(max_w):
+            m = masks[s]
+            if s == 0:
+                x = xorshift_step(x)
+                np.minimum(best_k, x.view(np.int64), out=best_k)
+            else:
+                xm = xorshift_step(x[m])
+                x[m] = xm
+                signed = xm.view(np.int64)
+                np.minimum(best_k[m], signed, out=signed)
+                best_k[m] = signed
+        # per-row segment min + winner index (reduceat needs in-bounds starts;
+        # empty-row results are overwritten below)
+        row_min = np.minimum.reduceat(best_k, np.minimum(seg[:-1], n_keys - 1))
+        row_min[empty_rows] = _INT64_MAX
+        is_win = best_k == np.repeat(row_min, np.diff(seg))
+        win_pos = np.flatnonzero(is_win)
+        win_rows = rows[win_pos]
+        first = np.searchsorted(win_rows, np.arange(n_rows))
+        first = np.minimum(first, max(len(win_pos) - 1, 0))
+        winner = win_pos[first] if len(win_pos) else np.zeros(n_rows, dtype=np.int64)
+        half = key_lo if word % 2 == 0 else key_hi
+        sig[:, word] = half[winner]
+        sig[empty_rows, word] = 0
+    return sig
+
+
+def band_hashes(sig: np.ndarray, rows_per_band: int) -> np.ndarray:
+    """Fold r consecutive slots per band into a 64-bit bucket key.
+
+    sig: (n, num_hashes) int32 → (n, num_hashes//r) int64.  fmix64-chained so
+    a band key commits to (band index, all r slot values)."""
+    n, h = sig.shape
+    r = rows_per_band
+    nb = h // r
+    u = np.ascontiguousarray(sig[:, : nb * r]).view(np.uint32).astype(np.uint64)
+    u = u.reshape(n, nb, r)
+    acc = np.tile((np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _GOLDEN, (n, 1))
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = fmix64(acc.ravel() ^ (u[:, :, j].ravel() + _GOLDEN)).reshape(n, nb)
+    return acc.view(np.int64)
+
+
+def compute_signatures(
+    df: DataFrame, cfg: MhapConfig, freq: FreqTable | None
+) -> DataFrame:
+    """input (image_id, caption, phash, …) → signatures DataFrame
+    (image_id, n_shingles, sig, bottomk, bands).  One mapInPandas pass;
+    the frequency table rides along as a task-local closure (broadcast by
+    Spark's task serializer once per executor)."""
+    k_bottom = cfg.ordered_sketch_size
+    num_hashes = cfg.num_hashes
+    rpb = cfg.rows_per_band
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
+            rows, keys, tfs, row_starts = distinct_per_row(flat, offs)
+            weights = batch_weights(keys, tfs, cfg, freq)
+            sig = batch_minhash(rows, keys, weights, row_starts, num_hashes)
+            bands = band_hashes(sig, rpb)
+            keys_signed = keys.view(np.int64)
+            n = len(pdf)
+            bottoms = [
+                keys_signed[row_starts[i] : min(row_starts[i] + k_bottom, row_starts[i + 1])]
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "n_shingles": np.diff(offs).astype(np.int32),
+                    "sig": list(sig),
+                    "bottomk": bottoms,
+                    "bands": list(bands),
+                }
+            )
+
+    return df.select("image_id", "caption", "phash").mapInPandas(
+        gen, SIGNATURE_SCHEMA
+    )

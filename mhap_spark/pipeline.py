@@ -1,0 +1,129 @@
+"""End-to-end near-duplicate pipeline driver.
+
+Lifecycle (SURVEY.md §3.5):
+
+    input (image_id, bytes, w, h, fmt, caption, phash)
+      → df-ratio table (tf-idf corpus stats)            [shuffle 1]
+      → signatures: weighted MinHash + bottom-k + bands [narrow, Arrow kernel]
+      → checkpoint A
+      → candidate pairs: band buckets → votes ≥ m       [shuffles 2-3]
+      → verified pairs: bottom-k Jaccard ≥ τ            [joins]
+      → checkpoint B
+      → clusters: large-star/small-star CC              [shuffle loop]
+      → (image_id, cluster_id) + metrics
+
+Also runnable via ``spark-submit --py-files mhap_spark.zip mhap_spark/pipeline.py``
+(see __main__ at the bottom).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+if __package__ in (None, ""):  # spark-submit by file path: repo root not on sys.path
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mhap_spark.candidates import bucket_sizes, bucket_stats, candidate_pairs, exploded_bands
+from mhap_spark.checkpoint import CheckpointStore
+from mhap_spark.cluster import connected_components
+from mhap_spark.config import MhapConfig
+from mhap_spark.freq import FreqTable, df_ratio_table
+from mhap_spark.minhash import compute_signatures
+from mhap_spark.verify import verified_pairs
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    cfg: MhapConfig,
+    store: CheckpointStore | None = None,
+    candidate_strategy: str = "grouped",
+) -> dict[str, DataFrame]:
+    """Returns {"signatures", "pairs", "clusters"} DataFrames.
+
+    With a store: stages already materialized under the current config hash
+    are skipped (resume semantics, north rule)."""
+    ch = cfg.config_hash()
+    t0 = time.time()
+
+    # --- stage A: signatures -------------------------------------------------
+    if store is not None and store.has("signatures", ch):
+        signatures = store.read(spark, "signatures")
+    else:
+        freq = None
+        if cfg.repeat_weight >= 0.0:
+            freq = FreqTable.from_df(df_ratio_table(input_df, cfg), cfg)
+        signatures = compute_signatures(input_df, cfg, freq)
+        if store is not None:
+            signatures = store.write(signatures, "signatures", ch)
+            store.write_metrics(
+                spark, "signatures", {"elapsed_s": time.time() - t0}
+            )
+
+    # --- stage B: candidate + verified pairs --------------------------------
+    if store is not None and store.has("pairs", ch):
+        pairs = store.read(spark, "pairs")
+    else:
+        t1 = time.time()
+        cands = candidate_pairs(signatures, cfg, strategy=candidate_strategy)
+        pairs = verified_pairs(cands, signatures, cfg)
+        if store is not None:
+            pairs = store.write(pairs, "pairs", ch)
+            funnel = bucket_stats(
+                bucket_sizes(exploded_bands(signatures)), cfg
+            ).collect()[0].asDict()
+            funnel["elapsed_s"] = time.time() - t1
+            funnel = {k: float(v) if v is not None else None for k, v in funnel.items()}
+            store.write_metrics(spark, "pairs", funnel)
+
+    # --- stage C: clusters ---------------------------------------------------
+    if store is not None and store.has("clusters", ch):
+        clusters = store.read(spark, "clusters")
+    else:
+        t2 = time.time()
+        clusters = connected_components(
+            pairs, signatures.select("image_id"), max_iters=cfg.cc_max_iters
+        )
+        if store is not None:
+            clusters = store.write(clusters, "clusters", ch)
+            store.write_metrics(spark, "clusters", {"elapsed_s": time.time() - t2})
+
+    return {"signatures": signatures, "pairs": pairs, "clusters": clusters}
+
+
+def _main() -> None:
+    """spark-submit entry: synthesizes the corpus, runs the full pipeline."""
+    import argparse
+
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--num-hashes", type=int, default=512)
+    ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
+    args = ap.parse_args()
+
+    spark = build_session("mhap_pipeline", master=args.master)
+    cfg = MhapConfig(num_hashes=args.num_hashes)
+    corpus = generate_corpus(args.rows, seed=args.seed)
+    df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
+    out = run_pipeline(spark, df, cfg, store=store, candidate_strategy=args.strategy)
+    n_pairs = out["pairs"].count()
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    print(f"pairs={n_pairs} clusters={n_clusters}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    _main()

@@ -13,14 +13,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from mhap_spark.codecs import encode_image, phash64
+from mhap_spark.codecs import decode_image, encode_image, phash64
 
-_WORDS = (
-    "ocean sunset mountain forest river canyon desert glacier meadow harbor "
-    "lighthouse bridge castle garden market street temple island volcano reef "
-    "aurora thunder blossom autumn winter spring summer shadow crystal ember "
-    "granite willow falcon heron otter lynx bison crane maple cedar juniper"
-).split()
+def _make_vocab(n: int = 2000) -> list[str]:
+    """Deterministic pseudo-word vocabulary.  Large enough that unrelated
+    captions share almost no 16-char windows (real caption corpora have
+    ~10^5+ vocabularies; a tiny vocab manufactures cross-cluster overlap)."""
+    cons = "bcdfghjklmnprstvwz"
+    vow = "aeiou"
+    syll = [c + v for c in cons for v in vow]  # 90 syllables
+    m = len(syll)
+    words = []
+    for i in range(n):
+        a, b = syll[i % m], syll[(i // m + i) % m]
+        c = syll[(i * 37 + 5) % m] if i % 3 == 0 else ""
+        words.append(a + b + c)
+    assert len(set(words)) == n, "vocab collision"
+    return words
+
+
+_WORDS = _make_vocab()
 
 
 def _zipf_cluster_sizes(rng: np.random.Generator, n_rows: int) -> list[int]:
@@ -64,9 +76,12 @@ def _edit_caption(rng: np.random.Generator, base: str, max_edits: int = 2) -> st
 
 def _base_image(rng: np.random.Generator) -> np.ndarray:
     """Low-frequency random pattern — stable under mild noise, so intra-cluster
-    phashes stay close and inter-cluster phashes differ."""
-    coarse = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float64)
-    img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)
+    phashes stay close.  8×8 coarse cells fill the DCT hash's full 8×8
+    low-frequency block, so inter-cluster phashes are well separated (a 4×4
+    pattern leaves most hash bits thresholding near-zero coefficients →
+    correlated phashes across clusters)."""
+    coarse = rng.integers(0, 256, size=(8, 8, 3)).astype(np.float64)
+    img = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)
     return np.clip(img, 0, 255)
 
 
@@ -96,10 +111,13 @@ def generate_corpus(n_rows: int, seed: int = 42) -> dict[str, np.ndarray | list]
             fmt = "png" if rng.random() < 0.5 else "qpng"
             image_id.append(f"img{i:08d}")
             pixels_col.append(px)
-            blob.append(encode_image(px, fmt))
+            enc = encode_image(px, fmt)
+            blob.append(enc)
             fmt_col.append(fmt)
             caption.append(cap)
-            phash_col[i] = phash64(px)
+            # phash derives from the STORED bytes (what a real ingest computes),
+            # so engine-side recompute-from-bytes matches exactly
+            phash_col[i] = phash64(decode_image(enc, fmt))
             true_cluster[i] = cid
             i += 1
 

@@ -1,0 +1,85 @@
+"""Stage-2 refinement: bottom-k Jaccard + Mash identity gate.
+
+Mirrors computeKBottomSketchJaccard (mhap/sketch/BottomOverlapSketch.java:304-364)
+— merge two ascending sketches counting intersections among the k smallest of
+the union, k = min(|a|, |b|) — and jaccardToIdentity (:391-395).  The pair
+*enumeration* was the Spark join in candidates.py; the per-pair merge is
+intra-row compute in a vectorized pandas UDF (SURVEY.md §2.3), with the
+positional shift band dropped (images have no 1-D offset, §2.2).
+
+Accept gate: identity score ≥ threshold (mhap/impl/MinHashSearch.java:228-241).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from mhap_spark.config import MhapConfig
+
+
+def bottom_k_jaccard_batch(a_list, b_list) -> np.ndarray:
+    """Vectorized-ish bottom-k Jaccard over a batch of array pairs.
+
+    Arrays arrive ascending (kernel emits them sorted).  For each pair:
+    k = min(|a|,|b|); score = |intersect within k-smallest-of-union| / k.
+    Equivalent closed form used here: with u = sorted distinct union,
+    count of u[:k] present in both a and b, over k."""
+    out = np.empty(len(a_list), dtype=np.float64)
+    for i in range(len(a_list)):
+        a = np.asarray(a_list[i], dtype=np.int64)
+        b = np.asarray(b_list[i], dtype=np.int64)
+        k = min(len(a), len(b))
+        if k == 0:
+            out[i] = 0.0
+            continue
+        u = np.union1d(a, b)[:k]
+        inter = np.intersect1d(a, b, assume_unique=True)
+        out[i] = np.isin(u, inter, assume_unique=True).sum() / k
+    return out
+
+
+def jaccard_to_identity_col(jaccard, k: int):
+    """Mash transform as a JVM-side column expression:
+    exp(log(2j/(1+j))/k); 0 where j ≤ 0 (mhap/sketch/BottomOverlapSketch.java:391-395)."""
+    j = jaccard
+    return F.when(j <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.log(2.0 * j / (1.0 + j)) / F.lit(float(k)))
+    )
+
+
+def verified_pairs(
+    candidates: DataFrame, signatures: DataFrame, cfg: MhapConfig
+) -> DataFrame:
+    """(src, dst, votes) ⋈ bottomk×2 → (src, dst, votes, jaccard, score) with
+    score ≥ threshold.  Two shuffle joins against the (much wider) signature
+    table; Catalyst prunes signatures to (image_id, bottomk) at the scan."""
+    bk = signatures.select("image_id", "bottomk")
+    joined = (
+        candidates.join(
+            bk.select(
+                F.col("image_id").alias("src"), F.col("bottomk").alias("bk_src")
+            ),
+            "src",
+        )
+        .join(
+            bk.select(
+                F.col("image_id").alias("dst"), F.col("bottomk").alias("bk_dst")
+            ),
+            "dst",
+        )
+    )
+
+    @F.pandas_udf(DoubleType())
+    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(bottom_k_jaccard_batch(a.tolist(), b.tolist()))
+
+    scored = joined.withColumn("jaccard", jacc("bk_src", "bk_dst")).withColumn(
+        "score", jaccard_to_identity_col(F.col("jaccard"), cfg.k)
+    )
+    gate = (F.col("score") >= F.lit(cfg.threshold)) & (
+        F.col("jaccard") >= F.lit(cfg.min_jaccard)
+    )
+    return scored.filter(gate).select("src", "dst", "votes", "jaccard", "score")

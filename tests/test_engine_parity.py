@@ -1,0 +1,129 @@
+"""Engine ⇄ oracle parity: the Spark kernels must reproduce the single-node
+reference implementation bit-for-bit (signatures) and set-for-set (pairs,
+clusters) at identical configs — SURVEY.md §5.2 kernel/candidate/stage-2 rows."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mhap_spark import oracle
+from mhap_spark.config import MhapConfig
+from mhap_spark.freq import FreqTable, df_ratio_table
+from mhap_spark.minhash import compute_signatures
+from mhap_spark.candidates import candidate_pairs
+from mhap_spark.verify import verified_pairs
+from mhap_spark.cluster import connected_components
+from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+CFG = MhapConfig(num_hashes=128)  # small sketch → fast unit tier
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def input_df(spark, corpus):
+    return spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(corpus):
+    cfg = CFG
+    shingle_sets = [
+        oracle.row_shingles(c, int(p), cfg)
+        for c, p in zip(corpus["caption"], corpus["phash"])
+    ]
+    freq = oracle.FreqFilter(oracle.df_ratio_table(shingle_sets), cfg)
+    sigs = [oracle.weighted_minhash(sh, cfg, freq) for sh in shingle_sets]
+    bottoms = [oracle.bottom_k(sh, cfg.ordered_sketch_size) for sh in shingle_sets]
+    return shingle_sets, freq, sigs, bottoms
+
+
+@pytest.fixture(scope="module")
+def engine_sigs(spark, input_df):
+    freq = FreqTable.from_df(df_ratio_table(input_df, CFG), CFG)
+    df = compute_signatures(input_df, CFG, freq)
+    pdf = df.toPandas().set_index("image_id").sort_index()
+    return df, pdf
+
+
+def test_freq_table_matches_oracle(spark, input_df, oracle_state):
+    shingle_sets, freq_o, _, _ = oracle_state
+    t = FreqTable.from_df(df_ratio_table(input_df, CFG), CFG)
+    engine = dict(zip((int(k) for k in t.keys), t.ratios))
+    assert engine.keys() == freq_o.map.keys()
+    for k, v in freq_o.map.items():
+        assert engine[k] == pytest.approx(v, abs=1e-12)
+    # scaled idf agrees on hits and misses
+    probe = np.array(list(freq_o.map.keys())[:50] + [123456789], dtype=np.uint64)
+    got = t.scaled_idf(probe)
+    want = np.array([freq_o.scaled_idf(int(k)) for k in probe])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_signatures_match_oracle_bitexact(corpus, oracle_state, engine_sigs):
+    _, _, sigs_o, bottoms_o = oracle_state
+    _, pdf = engine_sigs
+    assert len(pdf) == N_ROWS
+    for i, img in enumerate(corpus["image_id"]):
+        row = pdf.loc[img]
+        assert np.array_equal(np.asarray(row["sig"], dtype=np.int32), sigs_o[i]), img
+        got_bk = np.asarray(row["bottomk"], dtype=np.int64).view(np.uint64)
+        assert np.array_equal(got_bk, bottoms_o[i]), img
+
+
+@pytest.mark.parametrize("strategy", ["grouped", "join"])
+def test_candidates_match_oracle(spark, corpus, oracle_state, engine_sigs, strategy):
+    _, _, sigs_o, bottoms_o = oracle_state
+    sig_df, _ = engine_sigs
+    got = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sig_df, CFG, strategy=strategy).collect()
+    }
+    want_rows = oracle.find_pairs(
+        corpus["image_id"], sigs_o, bottoms_o, CFG.with_overrides(threshold=-1.0)
+    )
+    want = {(a, b): v for a, b, v, *_ in want_rows}
+    assert got == want
+
+
+def test_verified_pairs_match_oracle(spark, corpus, oracle_state, engine_sigs):
+    _, _, sigs_o, bottoms_o = oracle_state
+    sig_df, _ = engine_sigs
+    cands = candidate_pairs(sig_df, CFG)
+    got = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"], r["score"])
+        for r in verified_pairs(cands, sig_df, CFG).collect()
+    }
+    want = {
+        (a, b): (v, j, s)
+        for a, b, v, j, s in oracle.find_pairs(
+            corpus["image_id"], sigs_o, bottoms_o, CFG
+        )
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-9)
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i:04d}" for i in range(300)]
+    edges = set()
+    while len(edges) < 250:
+        a, b = rng.integers(0, 300, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    pairs_df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    verts_df = spark.createDataFrame([(n,) for n in nodes], "image_id string")
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df, verts_df).collect()
+    }
+    want = oracle.connected_components(nodes, sorted(edges))
+    assert got == want

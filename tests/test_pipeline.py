@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: recall vs planted truth (EstimateROC analog,
+SURVEY.md §5.2), resume-from-checkpoint semantics, and per-row invariants."""
+
+import numpy as np
+import pytest
+
+from mhap_spark.checkpoint import CheckpointStore
+from mhap_spark.codecs import decode_image, psnr
+from mhap_spark.config import MhapConfig
+from mhap_spark.ops.multimodal import image_stats
+from mhap_spark.pipeline import run_pipeline
+from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus, truth_pairs
+
+CFG = MhapConfig(num_hashes=128)
+N_ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_ROWS, seed=7)
+
+
+@pytest.fixture(scope="module")
+def input_df(spark, corpus):
+    return spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(8)
+
+
+def test_end_to_end_recall_and_precision(spark, corpus, input_df):
+    out = run_pipeline(spark, input_df, CFG)
+    clusters = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    truth = truth_pairs(corpus["true_cluster"], corpus["image_id"])
+    assert truth, "fixture must plant duplicate pairs"
+    hit = sum(1 for a, b in truth if clusters[a] == clusters[b])
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f}"
+    # precision guard: found co-clustered pairs that aren't truth
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for img, c in clusters.items():
+        members[c].append(img)
+    found = set()
+    for mems in members.values():
+        mems = sorted(mems)
+        for i in range(len(mems)):
+            for j in range(i + 1, len(mems)):
+                found.add((mems[i], mems[j]))
+    fp = len(found - truth)
+    assert fp <= max(10, 0.02 * len(truth)), f"{fp} false pairs of {len(truth)}"
+
+
+def test_resume_from_checkpoint(spark, corpus, input_df, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out1 = run_pipeline(spark, input_df, CFG, store=store)
+    c1 = sorted((r["image_id"], r["cluster_id"]) for r in out1["clusters"].collect())
+
+    # second run must skip all stages (manifest hit) and reproduce outputs —
+    # feed an EMPTY input frame to prove nothing is recomputed
+    empty = spark.createDataFrame([], INPUT_SCHEMA_DDL)
+    store2 = CheckpointStore(str(tmp_path / "ckpt"))
+    out2 = run_pipeline(spark, empty, CFG, store=store2)
+    c2 = sorted((r["image_id"], r["cluster_id"]) for r in out2["clusters"].collect())
+    assert c1 == c2
+
+    # config change invalidates the manifest → stages recompute
+    cfg3 = CFG.with_overrides(num_hashes=64)
+    assert not store2.has("signatures", cfg3.config_hash())
+
+    # lineage recorded per partition
+    m = store._manifest()
+    assert m["signatures"]["rows"] == N_ROWS
+    assert sum(m["signatures"]["partitions"].values()) == N_ROWS
+
+
+def test_per_row_invariant_psnr_and_caption(spark, corpus, input_df):
+    """BASELINE.json input_hint: decoded-pixel PSNR ≥ 40 dB (lossy), bit-exact
+    (lossless), caption passes through unmodified."""
+    rows = input_df.select("image_id", "bytes", "fmt", "caption").collect()
+    src_pixels = dict(zip(corpus["image_id"], corpus["pixels"]))
+    src_caption = dict(zip(corpus["image_id"], corpus["caption"]))
+    for r in rows[:200]:
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        if r["fmt"] == "png":
+            assert (px == src_pixels[r["image_id"]]).all()
+        else:
+            assert psnr(src_pixels[r["image_id"]], px) >= 40.0
+        assert r["caption"] == src_caption[r["image_id"]]
+
+
+def test_image_stats_op(spark, input_df):
+    stats = image_stats(input_df).toPandas()
+    assert stats["decode_ok"].all()
+    assert stats["phash_matches"].all()
+    assert (stats["dec_w"] == 32).all() and (stats["dec_h"] == 32).all()
+
+
+def test_image_stats_handles_bad_rows(spark):
+    rows = [
+        ("good", bytearray(b""), 1, 1, "jpeg", "cap", 0),  # unsupported codec
+        ("corrupt", bytearray(b"\x00\x01"), 1, 1, "png", "cap", 0),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert not got["good"]["decode_ok"] and "unsupported" in got["good"]["decode_error"]
+    assert not got["corrupt"]["decode_ok"] and "decode failed" in got["corrupt"]["decode_error"]
