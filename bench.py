@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Default mode (driver-invoked): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+near-dup pipeline on a deterministic 20k-row synthetic corpus.  Prints ONE
+JSON line::
+
+    {"metric": "candidate_pairs_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Scaling mode (``--scaling``): runs the identical pipeline job in fresh
+subprocesses at local[8] and local[32] (the sandbox proxy for N vs 4N
+executors, per BASELINE.md) and reports throughput at both plus the scaling
+efficiency; use ``--write-baseline`` to also update BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PIPELINE_ROWS = 20_000
+
+
+def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
+    """Synth corpus → full pipeline; returns timings + funnel counts."""
+    from mhap_spark.candidates import bucket_sizes, bucket_stats, exploded_bands
+    from mhap_spark.config import MhapConfig
+    from mhap_spark.pipeline import run_pipeline
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+    cfg = MhapConfig()  # full 512-hash parity config
+    corpus = generate_corpus(rows, seed=42, with_images=False)
+    spark = build_session(
+        f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
+    )
+    df = (
+        spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL)
+        .repartition(max(cores * 2, 8))
+        .persist()
+    )
+    df.count()  # materialize input outside the timed region
+
+    t0 = time.time()
+    out = run_pipeline(spark, df, cfg)
+    n_pairs = out["pairs"].count()
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    elapsed = time.time() - t0
+
+    funnel = bucket_stats(
+        bucket_sizes(exploded_bands(out["signatures"])), cfg
+    ).collect()[0]
+    n_candidates = int(funnel["candidate_pairs_generated"] or 0)
+    spark.stop()
+    return {
+        "cores": cores,
+        "rows": rows,
+        "elapsed_s": round(elapsed, 2),
+        "n_candidate_pairs": n_candidates,
+        "n_verified_pairs": n_pairs,
+        "n_clusters": n_clusters,
+        "candidate_pairs_per_sec": round(n_candidates / elapsed, 1),
+        "rows_per_sec": round(rows / elapsed, 1),
+    }
+
+
+def run_query_bench(sf_dir: str, cores: int) -> dict:
+    """Headline contract queries; per-query wall seconds."""
+    import __spark_entry__ as entrymod
+    from mhap_spark.session import build_session
+
+    names = [
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "topk_orders_per_customer",
+        "supplier_vote_pairs",
+        "word_df_ratio",
+        "exact_dedup_docs",
+        "word_jaccard_pairs",
+        "token_stats",
+        "quality_score",
+        "cosine_topk",
+        "embedding_near_dup",
+        "events_hourly",
+        "minhash_doc_pairs",
+        "simhash_near_dup",
+        "doc_fingerprint",
+        "lang_id",
+    ]
+    spark = build_session(
+        "bench_queries", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    spark.stop()
+    return timings
+
+
+def scaling_bench(rows: int) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (north-rule proxy)."""
+    results = {}
+    for cores in (8, 32):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--pipeline-only",
+            "--cores",
+            str(cores),
+            "--rows",
+            str(rows),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[f"local[{cores}]"] = json.loads(line)
+    t8 = results["local[8]"]["candidate_pairs_per_sec"]
+    t32 = results["local[32]"]["candidate_pairs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    results["scaling_efficiency"] = round(eff, 3)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    if args.pipeline_only:
+        print(json.dumps(run_pipeline_bench(args.cores, args.rows)))
+        return
+
+    if args.scaling:
+        print(json.dumps(scaling_bench(args.rows), indent=1))
+        return
+
+    t_all = time.time()
+    pipe = run_pipeline_bench(args.cores, args.rows)
+    queries = run_query_bench(sf_dir, args.cores)
+    queries["mhap_pipeline_20k"] = pipe["elapsed_s"]
+    total = round(time.time() - t_all, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "candidate_pairs_per_sec",
+                "value": pipe["candidate_pairs_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline": pipe,
+                "total_bench_s": total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

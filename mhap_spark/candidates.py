@@ -44,7 +44,13 @@ def bucket_sizes(bands: DataFrame) -> DataFrame:
 
 def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
     """One-row funnel metrics (mirrors the reference's stderr stats,
-    mhap/main/MhapMain.java:572-590)."""
+    mhap/main/MhapMain.java:572-590).  Candidate count is mode-aware:
+    C(n,2) per bucket in "pairs" mode, n−1 in "star" mode."""
+    per_bucket = (
+        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        if cfg.candidate_mode != "star"
+        else F.col("bucket_size") - 1
+    )
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1).otherwise(0)).alias(
@@ -53,8 +59,7 @@ def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
         F.max("bucket_size").alias("max_bucket_size_seen"),
         F.sum(
             F.when(
-                F.col("bucket_size").between(2, cfg.max_bucket_size),
-                F.col("bucket_size") * (F.col("bucket_size") - 1) / 2,
+                F.col("bucket_size").between(2, cfg.max_bucket_size), per_bucket
             ).otherwise(0)
         ).alias("candidate_pairs_generated"),
     )
@@ -115,28 +120,52 @@ def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> Dat
     return cold_pairs.unionByName(hot_pairs)
 
 
+def _pairs_star(eligible: DataFrame) -> DataFrame:
+    """Star emission: one (bucket-min → member) edge per bucket member —
+    O(n) per bucket.  Connectivity within a bucket is preserved through the
+    hub, so the downstream connected-components output is unchanged for any
+    bucket whose hub verifies against its members (near-identical rows).
+    src < dst holds by construction (src is the bucket minimum)."""
+    hubs = eligible.groupBy("band_idx", "band_hash").agg(
+        F.min("image_id").alias("src")
+    )
+    return (
+        eligible.join(hubs, ["band_idx", "band_hash"])
+        .where(F.col("image_id") != F.col("src"))
+        .select("src", F.col("image_id").alias("dst"))
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame,
     cfg: MhapConfig,
     strategy: str = "grouped",
     hot_threshold: int = 64,
 ) -> DataFrame:
-    """signatures → (src, dst, votes) with src < dst, votes ≥ min gate.
+    """signatures → (src, dst, votes) with src < dst, votes ≥ gate.
 
-    votes = number of shared bands (shared slots when rows_per_band=1 —
-    exactly the reference's vote semantics, mhap/impl/MinHashSearch.java:161-204).
+    mode "pairs": votes = number of shared bands (shared slots when
+    rows_per_band=1 — exactly the reference's vote semantics,
+    mhap/impl/MinHashSearch.java:161-204), gate = min_band_matches.
+    mode "star": linear-cost emission for cluster workloads; gate =
+    star_min_votes.
     """
     bands = exploded_bands(signatures)
     sizes = bucket_sizes(bands)
     eligible = _eligible_bands(bands, sizes, cfg)
-    if strategy == "grouped":
+    if cfg.candidate_mode == "star":
+        pairs = _pairs_star(eligible)
+        gate = cfg.star_min_votes
+    elif strategy == "grouped":
         pairs = _pairs_grouped(eligible)
+        gate = cfg.min_band_matches()
     elif strategy == "join":
         pairs = _pairs_join(eligible, cfg, hot_threshold)
+        gate = cfg.min_band_matches()
     else:
         raise ValueError(f"unknown candidate strategy {strategy!r}")
     return (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("votes"))
-        .filter(F.col("votes") >= F.lit(cfg.min_band_matches()))
+        .filter(F.col("votes") >= F.lit(gate))
     )

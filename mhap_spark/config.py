@@ -38,6 +38,15 @@ class MhapConfig:
     max_bucket_size: int = 512       # noise-suppression cap on band buckets
                                      # (scale analog of tf-idf popular-kmer removal,
                                      #  mhap/sketch/FrequencyCounts.java:171-186)
+    # candidate emission mode:
+    #  "pairs" — all C(n,2) pairs per bucket (exact MHAP MatchResult semantics);
+    #  "star"  — (bucket-min → member) edges only: O(n) per bucket instead of
+    #            O(n²), sufficient for CLUSTER output (connectivity is preserved
+    #            through verified hubs) — the web-scale mode; a 500-dup bucket
+    #            emits 499 edges instead of 124,750
+    candidate_mode: str = "pairs"
+    star_min_votes: int = 2          # vote gate for star edges (bands where the
+                                     # edge's hub is that bucket's min)
 
     # --- stage 2: bottom-k Jaccard refinement ---
     ordered_sketch_size: int = 1536  # bottom-k size (mhap/main/MhapMain.java:85)
@@ -77,5 +86,7 @@ class MhapConfig:
 PRESET_DEFAULT = MhapConfig()
 PRESET_FAST = MhapConfig(num_hashes=256, threshold=0.80, ordered_sketch_size=1000)
 PRESET_SENSITIVE = MhapConfig(num_hashes=768, num_min_matches=2, threshold=0.73)
+# Web-scale operating point: star candidate emission (linear in bucket size).
+PRESET_SCALE = MhapConfig(candidate_mode="star", star_min_votes=2)
 
-PRESETS = {1: PRESET_DEFAULT, 2: PRESET_FAST, 3: PRESET_SENSITIVE}
+PRESETS = {1: PRESET_DEFAULT, 2: PRESET_FAST, 3: PRESET_SENSITIVE, 4: PRESET_SCALE}

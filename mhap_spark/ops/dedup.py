@@ -1,0 +1,173 @@
+"""Deduplication operators for document corpora — the training-data-pipeline
+surface (task brief): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All JVM-side where Spark builtins express the semantics; sketch-dependent
+steps reuse the engine's Arrow kernels.  Designed for the ``documents``
+table shape (doc_id, text, lang, source, n_chars) but column names are
+parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from mhap_spark.config import MhapConfig
+from mhap_spark.hashing import caption_kgram_hashes_batch, fmix64
+
+
+def normalized_text(col):
+    """Canonical text form: lowercase, collapsed whitespace (JVM-side)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text hash-groupBy: one row per distinct
+    normalized text, representative = min id, with duplicate count.
+    Shuffle on the (pruned) normalized text — partial agg keeps skew safe."""
+    return (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("rep_id", "n_dups")
+    )
+
+
+def word_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    max_len_delta: int = 10,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """n-gram (word-set) Jaccard near-dup pairs with cheap blocking:
+    candidates share ``block_col`` and have close lengths — the classic
+    blocked similarity join.  Jaccard entirely via builtin array ops
+    (array_intersect / array_union sizes), no Python."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.length(text_col).alias("len"),
+        F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("ws"),
+    )
+    l, r = words.alias("l"), words.alias("r")
+    return (
+        l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.id") < F.col("r.id")])
+        .where(F.abs(F.col("l.len") - F.col("r.len")) <= max_len_delta)
+        .select(
+            F.col("l.id").alias("src"),
+            F.col("r.id").alias("dst"),
+            (
+                F.size(F.array_intersect("l.ws", "r.ws"))
+                / F.size(F.array_union("l.ws", "r.ws"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_lsh_doc_pairs(
+    df: DataFrame,
+    cfg: MhapConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates over text documents: char k-gram
+    shingles → signature → banded buckets → pairs (the engine's stage 1
+    applied to a pure-text corpus; hash-dependent → rows-only oracle)."""
+    from mhap_spark.candidates import candidate_pairs
+    from mhap_spark.minhash import compute_signatures
+
+    cfg = cfg or MhapConfig(
+        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
+    )
+    src = df.select(
+        F.col(id_col).cast("string").alias("image_id"),
+        F.col(text_col).alias("caption"),
+        F.lit(0).cast("long").alias("phash"),
+    )
+    sigs = compute_signatures(src, cfg, freq=None)
+    return candidate_pairs(sigs, cfg).withColumnsRenamed(
+        {"src": "src_doc", "dst": "dst_doc"}
+    )
+
+
+SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", StringType()), StructField("simhash", LongType())]
+)
+
+
+def simhash_docs(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document (mirrors mhap/sketch/SimHash.java:33-103:
+    bit-vote over the n-gram hash family), vectorized per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams = caption_kgram_hashes_batch(pdf[text_col].tolist(), k)
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, g in enumerate(grams):
+                if not len(g):
+                    continue
+                bits = (g[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = 2 * bits.sum(axis=0) - len(g)  # +1/-1 per gram per bit
+                out[i] = np.uint64(
+                    ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype(str), "simhash": out.view(np.int64)}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, SIMHASH_SCHEMA
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 6, k: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit simhash chunks (a pair within
+    Hamming ≤ 6 of 64 bits shares at least one of 4 chunks — pigeonhole), then
+    exact Hamming via bit_count(xor) JVM-side."""
+    sh = simhash_docs(df, k=k, id_col=id_col, text_col=text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(r, on=["chunk_idx", "chunk_val"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("src"),
+            F.col("r.doc_id").alias("dst"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["src", "dst"])
+    )

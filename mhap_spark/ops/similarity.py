@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (all JVM-side: zip_with +
+aggregate, no Python in the hot path), and an LSH-bucketed variant as the
+scale path (random-hyperplane signs → band buckets → rescore only within
+buckets — the same sketch-then-verify shape as the MHAP pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds ``vec`` (double array) and ``norm``; rows with zero norm dropped."""
+    d = df.withColumn("vec", F.col(vec_col).cast("array<double>")).withColumn(
+        "norm", _norm(F.col("vec"))
+    )
+    return d.where(F.col("norm") > 0)
+
+
+def cosine_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` ids.
+
+    Query side is tiny → broadcast; the big side is scanned once, no shuffle
+    until the final per-query top-k (window over k·n_queries rows).
+    Deterministic tie-break: (cos_sim desc, neighbor id asc)."""
+    base = with_unit_vectors(df, vec_col).select(id_col, "vec", "norm")
+    queries = base.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cos: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with blocking on ``block_col``
+    (at web scale the block key is an LSH bucket — see lsh_ann below)."""
+    base = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), "vec", "norm"
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.id") < F.col("r.id")])
+        .select(
+            F.col("l.id").alias("src"),
+            F.col("r.id").alias("dst"),
+            (
+                _dot(F.col("l.vec"), F.col("r.vec"))
+                / (F.col("l.norm") * F.col("r.norm"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def lsh_bucketed_neighbors(
+    df: DataFrame,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    min_cos: float = 0.8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: ``n_tables`` independent sign-bit
+    bucketings (mirrors the cosine sketch, mhap/sketch/CosineDistanceSketch.java:33-71,
+    and the banded index, mhap/sketch/BitVectorIndex.java:49-117); candidates
+    = bucket collisions in any table, then exact cosine rescore ≥ min_cos.
+
+    The hyperplane matrix is a broadcast literal; bucket ids are computed
+    JVM-side as sign-bit sums, so the scan stays in whole-stage codegen."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "src long, dst long, cos_sim double"
+        )
+    dim = first["d"]
+    base = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), "vec", "norm"
+    )
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t)
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        "vec",
+                        F.array(*[F.lit(float(w)) for w in planes[b]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(n_bits)
+        ]
+        code = bits[0]
+        for e in bits[1:]:
+            code = code + e
+        bucket_cols.append(
+            F.struct(F.lit(t).alias("table_idx"), code.alias("bucket"))
+        )
+
+    buckets = base.select(
+        "id", "vec", "norm", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select("id", "vec", "norm", "tb.table_idx", "tb.bucket")
+
+    l = buckets.select(
+        F.col("id").alias("src"),
+        F.col("vec").alias("lvec"),
+        F.col("norm").alias("lnorm"),
+        "table_idx",
+        "bucket",
+    )
+    r = buckets.select(
+        F.col("id").alias("dst"),
+        F.col("vec").alias("rvec"),
+        F.col("norm").alias("rnorm"),
+        "table_idx",
+        "bucket",
+    )
+    cand = (
+        l.join(r, on=["table_idx", "bucket"])
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        cand.select(
+            "src",
+            "dst",
+            (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,160 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting (task brief "text analysis" family).
+
+Token/quality metrics are pure JVM column expressions (whole-stage codegen);
+language-ID and fingerprints need hashing/ngram models → Arrow kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mhap_spark.hashing import caption_kgram_hashes_batch, fmix64
+
+_STOPWORDS = (
+    "the of and a to in is it that was for on are as with his they at be this "
+    "from or had by but not what all were when we there can an your which their"
+).split()
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_seen, distinct_ratio, avg_token_len) —
+    whitespace tokenization, all builtin functions."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_seen"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics → quality in [0,1].
+
+    The score is a documented deterministic formula (not a model): docs get
+    credit for reasonable length, sane word lengths, stopword presence, and
+    lose it for punctuation soup."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.lit(
+        float(len(_STOPWORDS))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / F.length(t)
+    )
+    len_score = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(1.0),
+                    0.4 * len_score + 0.4 * stop_ratio + 0.2 * (1.0 - 4.0 * punct_ratio),
+                ),
+            ),
+            6,
+        ).alias("quality"),
+    )
+
+
+LANG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang_pred", StringType()),
+        StructField("lang_score", DoubleType()),
+    ]
+)
+
+# tiny deterministic character-trigram profiles (illustrative heuristic —
+# production swaps in a real LID model behind the same mapInPandas signature)
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "es "],
+    "de": ["der", "ein", "ich", "und", "sch", "die", "en ", "ch ", " ge", "cht"],
+    "fr": ["les", "ent", "de ", " de", "ion", "que", "ait", " le", "eur", "ous"],
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram language-ID heuristic over mapInPandas (Arrow batches)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].str.lower().fillna("")
+            scores = np.zeros((len(pdf), len(_LANG_PROFILES)))
+            langs = list(_LANG_PROFILES)
+            for j, lang in enumerate(langs):
+                for tri in _LANG_PROFILES[lang]:
+                    scores[:, j] += texts.str.count(tri, flags=0).to_numpy()
+            lens = texts.str.len().to_numpy().clip(min=1)
+            scores = scores / lens[:, None]
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "lang_pred": [langs[b] for b in best],
+                    "lang_score": scores[np.arange(len(pdf)), best],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, LANG_SCHEMA)
+
+
+FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", LongType()),
+        StructField("n_grams", LongType()),
+    ]
+)
+
+
+def fingerprint(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-insensitive 64-bit document fingerprint: xor of all char k-gram
+    hashes (rolling-hash family; robust to reordering, sensitive to content)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams = caption_kgram_hashes_batch(pdf[text_col].tolist(), k)
+            fp = np.zeros(len(pdf), dtype=np.uint64)
+            ng = np.zeros(len(pdf), dtype=np.int64)
+            for i, g in enumerate(grams):
+                ng[i] = len(g)
+                if len(g):
+                    fp[i] = np.bitwise_xor.reduce(fmix64(g))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "fingerprint": fp.view(np.int64),
+                    "n_grams": ng,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, FP_SCHEMA)

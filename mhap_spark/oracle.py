@@ -192,17 +192,25 @@ def find_pairs(
             index[b].setdefault(key, []).append(row)
 
     votes: dict[tuple[int, int], int] = {}
+    star = cfg.candidate_mode == "star"
     for b in range(n_bands):
         for bucket in index[b].values():
             if len(bucket) < 2 or len(bucket) > cfg.max_bucket_size:
                 continue
-            for i in range(len(bucket)):
-                for j in range(i + 1, len(bucket)):
-                    p = (bucket[i], bucket[j])
-                    votes[p] = votes.get(p, 0) + 1
+            if star:
+                hub = min(bucket, key=lambda r: ids[r])
+                for r in bucket:
+                    if r != hub:
+                        p = (hub, r)
+                        votes[p] = votes.get(p, 0) + 1
+            else:
+                for i in range(len(bucket)):
+                    for j in range(i + 1, len(bucket)):
+                        p = (bucket[i], bucket[j])
+                        votes[p] = votes.get(p, 0) + 1
 
     out = []
-    gate = cfg.min_band_matches()
+    gate = cfg.star_min_votes if star else cfg.min_band_matches()
     for (i, j), v in votes.items():
         if v < gate:
             continue

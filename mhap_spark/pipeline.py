@@ -63,6 +63,11 @@ def run_pipeline(
             store.write_metrics(
                 spark, "signatures", {"elapsed_s": time.time() - t0}
             )
+        else:
+            # signatures feed candidates, two verify joins, and the CC vertex
+            # set — without a checkpoint the Arrow kernel would re-run per
+            # consumer; cache is the in-memory stand-in for checkpoint A
+            signatures = signatures.persist()
 
     # --- stage B: candidate + verified pairs --------------------------------
     if store is not None and store.has("pairs", ch):
@@ -71,6 +76,8 @@ def run_pipeline(
         t1 = time.time()
         cands = candidate_pairs(signatures, cfg, strategy=candidate_strategy)
         pairs = verified_pairs(cands, signatures, cfg)
+        if store is None:
+            pairs = pairs.persist()  # consumed by CC and by the caller
         if store is not None:
             pairs = store.write(pairs, "pairs", ch)
             funnel = bucket_stats(

@@ -85,10 +85,16 @@ def _base_image(rng: np.random.Generator) -> np.ndarray:
     return np.clip(img, 0, 255)
 
 
-def generate_corpus(n_rows: int, seed: int = 42) -> dict[str, np.ndarray | list]:
+def generate_corpus(
+    n_rows: int, seed: int = 42, with_images: bool = True
+) -> dict[str, np.ndarray | list]:
     """Build the corpus.  Returns columns (python lists / numpy arrays):
     image_id, bytes, w, h, fmt, caption, phash, true_cluster, pixels
-    (pixels = pre-encode ground truth for the PSNR invariant test)."""
+    (pixels = pre-encode ground truth for the PSNR invariant test).
+
+    with_images=False skips the (python-loop) PNG encode — phash comes from
+    the raw pixels and ``bytes`` is empty; used by the large bench tiers where
+    only (caption, phash) feed the pipeline."""
     rng = np.random.default_rng(seed)
     sizes = _zipf_cluster_sizes(rng, n_rows)
 
@@ -111,13 +117,18 @@ def generate_corpus(n_rows: int, seed: int = 42) -> dict[str, np.ndarray | list]
             fmt = "png" if rng.random() < 0.5 else "qpng"
             image_id.append(f"img{i:08d}")
             pixels_col.append(px)
-            enc = encode_image(px, fmt)
-            blob.append(enc)
-            fmt_col.append(fmt)
+            if with_images:
+                enc = encode_image(px, fmt)
+                blob.append(enc)
+                fmt_col.append(fmt)
+                # phash derives from the STORED bytes (what a real ingest
+                # computes), so engine-side recompute-from-bytes matches exactly
+                phash_col[i] = phash64(decode_image(enc, fmt))
+            else:
+                blob.append(b"")
+                fmt_col.append("none")
+                phash_col[i] = phash64(px)
             caption.append(cap)
-            # phash derives from the STORED bytes (what a real ingest computes),
-            # so engine-side recompute-from-bytes matches exactly
-            phash_col[i] = phash64(decode_image(enc, fmt))
             true_cluster[i] = cid
             i += 1
 
