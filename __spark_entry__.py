@@ -243,9 +243,65 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Interval/range join (EstimateROC truth-clustering analog,
+    mhap/utils/IntervalTree.java → Spark conditional join, SURVEY.md §2.3):
+    lineitems shipped within 30 days of their order's date."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            on=[
+                li.l_orderkey == o.o_orderkey,
+                li.l_shipdate >= o.o_orderdate,
+                li.l_shipdate <= F.date_add(o.o_orderdate, 30),
+            ],
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_shipped_30d"))
+    )
+
+
+def _q_median_value_by_type(spark, sf_dir):
+    """Exact interpolated median (quickselect analog, mhap/utils/Utils.java:445-494)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+    )
+
+
+def _q_pair_identity_scores(spark, sf_dir):
+    """Mash identity transform (mhap/sketch/BottomOverlapSketch.java:391-395)
+    applied to word-Jaccard pairs — scalar-function parity check."""
+    from mhap_spark.ops.dedup import word_jaccard_pairs
+    from mhap_spark.verify import jaccard_to_identity_col
+
+    pairs = word_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), max_len_delta=20, min_jaccard=0.3
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round(jaccard_to_identity_col(F.col("jaccard"), 16), 6).alias("identity"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (hash/sketch-dependent or synthetic-input)
 # --------------------------------------------------------------------------
+
+def _q_approx_distinct(spark, sf_dir):
+    """HLL/count-min approximate aggregates (mhap/sketch/CountMin.java analog;
+    estimator values are engine-specific → rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
 
 def _q_minhash_doc_pairs(spark, sf_dir):
     from mhap_spark.ops.dedup import minhash_lsh_doc_pairs
@@ -335,7 +391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
+        "range_join_ship_30d": _q_range_join,
+        "median_value_by_type": _q_median_value_by_type,
+        "pair_identity_scores": _q_pair_identity_scores,
         # rows-only (sketch/hash-dependent or synthetic-input)
+        "approx_distinct": _q_approx_distinct,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
         "simhash_near_dup": _q_simhash_near_dup,
         "lang_id": _q_lang_id,
@@ -477,5 +537,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "range_join_ship_30d": """
+            SELECT o_orderstatus, count(*) AS n_shipped_30d
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            GROUP BY o_orderstatus
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value
+            FROM events GROUP BY event_type
+        """,
+        "pair_identity_scores": f"""
+            WITH w AS (
+              SELECT doc_id AS id, source AS blk, length(text) AS len,
+                     list_distinct(string_split({_NORM}, ' ')) AS ws
+              FROM documents),
+            p AS (
+              SELECT l.id AS src, r.id AS dst,
+                     len(list_intersect(l.ws, r.ws))::DOUBLE
+                       / len(list_distinct(l.ws || r.ws)) AS j
+              FROM w l JOIN w r ON l.blk = r.blk AND l.id < r.id
+              WHERE abs(l.len - r.len) <= 20
+                AND len(list_intersect(l.ws, r.ws))::DOUBLE
+                    / len(list_distinct(l.ws || r.ws)) >= 0.3)
+            SELECT src, dst, round(j, 6) AS jaccard,
+                   round(CASE WHEN j <= 0 THEN 0.0
+                              ELSE exp(ln(2*j/(1+j))/16.0) END, 6) AS identity
+            FROM p
         """,
     }

@@ -28,15 +28,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PIPELINE_ROWS = 20_000
 
 
+def _pair_recall(assign: dict[str, str], true_cluster, image_id) -> float:
+    """Fraction of planted intra-cluster pairs co-clustered by the engine."""
+    from collections import Counter, defaultdict
+
+    by_true: dict[int, list[str]] = defaultdict(list)
+    for img, c in zip(image_id, true_cluster):
+        by_true[int(c)].append(img)
+    hit = total = 0
+    for members in by_true.values():
+        m = len(members)
+        if m < 2:
+            continue
+        total += m * (m - 1) // 2
+        for n in Counter(assign[i] for i in members).values():
+            hit += n * (n - 1) // 2
+    return hit / total if total else 1.0
+
+
 def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
-    """Synth corpus → full pipeline; returns timings + funnel counts."""
+    """Synth corpus → full pipeline (web-scale star preset at the reference's
+    512-hash sketch config); returns timings, funnel counts, planted recall."""
     from mhap_spark.candidates import bucket_sizes, bucket_stats, exploded_bands
-    from mhap_spark.config import MhapConfig
+    from mhap_spark.config import PRESET_SCALE
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.session import build_session
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 
-    cfg = MhapConfig()  # full 512-hash parity config
+    cfg = PRESET_SCALE
     corpus = generate_corpus(rows, seed=42, with_images=False)
     spark = build_session(
         f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
@@ -51,9 +70,11 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     t0 = time.time()
     out = run_pipeline(spark, df, cfg)
     n_pairs = out["pairs"].count()
-    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    assign = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
     elapsed = time.time() - t0
 
+    n_clusters = len(set(assign.values()))
+    recall = _pair_recall(assign, corpus["true_cluster"], corpus["image_id"])
     funnel = bucket_stats(
         bucket_sizes(exploded_bands(out["signatures"])), cfg
     ).collect()[0]
@@ -66,6 +87,7 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
         "n_candidate_pairs": n_candidates,
         "n_verified_pairs": n_pairs,
         "n_clusters": n_clusters,
+        "dup_pair_recall": round(recall, 5),
         "candidate_pairs_per_sec": round(n_candidates / elapsed, 1),
         "rows_per_sec": round(rows / elapsed, 1),
     }

@@ -120,17 +120,25 @@ def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> Dat
     return cold_pairs.unionByName(hot_pairs)
 
 
-def _pairs_star(eligible: DataFrame) -> DataFrame:
+def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
     """Star emission: one (bucket-min → member) edge per bucket member —
     O(n) per bucket.  Connectivity within a bucket is preserved through the
     hub, so the downstream connected-components output is unchanged for any
     bucket whose hub verifies against its members (near-identical rows).
-    src < dst holds by construction (src is the bucket minimum)."""
-    hubs = eligible.groupBy("band_idx", "band_hash").agg(
-        F.min("image_id").alias("src")
+    src < dst holds by construction (src is the bucket minimum).
+
+    Physical shape: ONE groupBy computes bucket size AND hub together, then
+    one equi-join back to the exploded bands (the join reuses the groupBy's
+    hash partitioning on the band key — no extra shuffle of the big side)."""
+    stats = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.min("image_id").alias("src"),
+    )
+    eligible = stats.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
     return (
-        eligible.join(hubs, ["band_idx", "band_hash"])
+        bands.join(eligible, ["band_idx", "band_hash"])
         .where(F.col("image_id") != F.col("src"))
         .select("src", F.col("image_id").alias("dst"))
     )
@@ -151,12 +159,17 @@ def candidate_pairs(
     star_min_votes.
     """
     bands = exploded_bands(signatures)
+    if cfg.candidate_mode == "star":
+        pairs = _pairs_star(bands, cfg)
+        gate = cfg.star_min_votes
+        return (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .filter(F.col("votes") >= F.lit(gate))
+        )
     sizes = bucket_sizes(bands)
     eligible = _eligible_bands(bands, sizes, cfg)
-    if cfg.candidate_mode == "star":
-        pairs = _pairs_star(eligible)
-        gate = cfg.star_min_votes
-    elif strategy == "grouped":
+    if strategy == "grouped":
         pairs = _pairs_grouped(eligible)
         gate = cfg.min_band_matches()
     elif strategy == "join":

@@ -116,10 +116,20 @@ def _main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--num-hashes", type=int, default=512)
     ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
+    ap.add_argument(
+        "--preset",
+        type=int,
+        default=1,
+        choices=[1, 2, 3, 4],
+        help="1=default 2=fast 3=sensitive (mhap/main/MhapMain.java:137-198) "
+        "4=scale (star candidate emission)",
+    )
     args = ap.parse_args()
 
+    from mhap_spark.config import PRESETS
+
     spark = build_session("mhap_pipeline", master=args.master)
-    cfg = MhapConfig(num_hashes=args.num_hashes)
+    cfg = PRESETS[args.preset].with_overrides(num_hashes=args.num_hashes)
     corpus = generate_corpus(args.rows, seed=args.seed)
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
         spark.sparkContext.defaultParallelism
