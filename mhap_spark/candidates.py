@@ -144,6 +144,34 @@ def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
     )
 
 
+def probe_candidates(
+    probe_sigs: DataFrame, indexed_sigs: DataFrame, cfg: MhapConfig
+) -> DataFrame:
+    """Two-table mode — the reference's ``-q`` usage (stream query sequences
+    against an indexed set, mhap/main/MhapMain.java:511-541;
+    ``findMatches(toSelf=false)`` mhap/impl/MinHashSearch.java:200): probe rows
+    are matched against the indexed table with no pair-order pruning.
+
+    Returns (probe_id, index_id, votes ≥ gate).  The indexed side's bucket
+    sizes are capped exactly like the self-join path."""
+    probe = exploded_bands(probe_sigs).withColumnRenamed("image_id", "probe_id")
+    index = exploded_bands(indexed_sigs).withColumnRenamed("image_id", "index_id")
+    sizes = index.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    index_ok = index.join(
+        sizes.where(F.col("bucket_size") <= cfg.max_bucket_size),
+        ["band_idx", "band_hash"],
+    )
+    return (
+        probe.join(index_ok, ["band_idx", "band_hash"])
+        .where(F.col("probe_id") != F.col("index_id"))
+        .groupBy("probe_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= F.lit(cfg.min_band_matches()))
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame,
     cfg: MhapConfig,

@@ -1,0 +1,99 @@
+"""Two-table probe mode (reference -q usage) and incremental streaming ingest."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mhap_spark.candidates import candidate_pairs, probe_candidates
+from mhap_spark.config import MhapConfig
+from mhap_spark.minhash import compute_signatures
+from mhap_spark.streaming import IncrementalDedup, read_image_stream
+from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+CFG = MhapConfig(num_hashes=128, min_jaccard=0.2)
+
+
+def _df(spark, corpus, lo, hi):
+    rows = corpus_to_rows(corpus)[lo:hi]
+    return spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+
+
+def test_probe_candidates_vs_self_join(spark):
+    """Probing set A against set B must find exactly the cross-set pairs the
+    self-join finds on A ∪ B (restricted to one probe/index side each)."""
+    corpus = generate_corpus(300, seed=21)
+    full = _df(spark, corpus, 0, 300).repartition(4)
+    a = _df(spark, corpus, 0, 150)
+    b = _df(spark, corpus, 150, 300)
+    sig_a = compute_signatures(a, CFG, None)
+    sig_b = compute_signatures(b, CFG, None)
+    got = {
+        (r["probe_id"], r["index_id"]): r["votes"]
+        for r in probe_candidates(sig_a, sig_b, CFG).collect()
+    }
+    sig_full = compute_signatures(full, CFG, None)
+    self_pairs = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sig_full, CFG).collect()
+    }
+    ids_a = set(corpus["image_id"][:150])
+    ids_b = set(corpus["image_id"][150:])
+    cross = {
+        (a_, b_): v for (a_, b_), v in self_pairs.items()
+        if (a_ in ids_a) != (b_ in ids_a)
+    }
+    # probe emits (probe, index) orientation; canonicalize to src<dst
+    got_canon = {tuple(sorted(k)): v for k, v in got.items() if k[0] in ids_a and k[1] in ids_b}
+    want_canon = {tuple(sorted(k)): v for k, v in cross.items()}
+    assert got_canon == want_canon
+
+
+def test_incremental_streaming_dedup(spark, tmp_path):
+    """Stream the corpus in file-chunks; every near-dup pair that spans
+    batches must be found by the probe join."""
+    corpus = generate_corpus(200, seed=5)
+    rows = corpus_to_rows(corpus)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # write 4 parquet files (micro-batch boundaries)
+    for i in range(4):
+        chunk = rows[i * 50 : (i + 1) * 50]
+        tbl = pa.table(
+            {
+                "image_id": [r[0] for r in chunk],
+                "bytes": pa.array([bytes(r[1]) for r in chunk], pa.binary()),
+                "w": pa.array([r[2] for r in chunk], pa.int32()),
+                "h": pa.array([r[3] for r in chunk], pa.int32()),
+                "fmt": [r[4] for r in chunk],
+                "caption": [r[5] for r in chunk],
+                "phash": pa.array([r[6] for r in chunk], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(in_dir, f"part{i}.parquet"))
+
+    base = str(tmp_path / "dedup")
+    sink = IncrementalDedup(base, CFG)
+    stream = read_image_stream(spark, in_dir, INPUT_SCHEMA_DDL, max_files=1)
+    q = sink.start(stream)
+    q.awaitTermination(120)
+
+    sigs = spark.read.parquet(os.path.join(base, "signatures"))
+    assert sigs.count() == 200
+
+    matches = spark.read.parquet(os.path.join(base, "matches"))
+    got = {tuple(sorted((r["src"], r["dst"]))) for r in matches.collect()}
+
+    # ground truth: cross-batch near-dup pairs from the batch pipeline
+    from mhap_spark.pipeline import run_pipeline
+
+    full = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    batch_pairs = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in run_pipeline(spark, full, CFG)["pairs"].collect()
+    }
+    batch_of = {rows[i][0]: i // 50 for i in range(200)}
+    cross_batch = {p for p in batch_pairs if batch_of[p[0]] != batch_of[p[1]]}
+    missed = cross_batch - got
+    assert not missed, f"missed cross-batch pairs: {sorted(missed)[:5]}"
