@@ -272,6 +272,16 @@ def _q_median_value_by_type(spark, sf_dir):
     )
 
 
+def _q_quantity_price_corr(spark, sf_dir):
+    """Pearson correlation / regression stats (mhap/utils/Utils.java:382-441)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+    )
+
+
 def _q_pair_identity_scores(spark, sf_dir):
     """Mash identity transform (mhap/sketch/BottomOverlapSketch.java:391-395)
     applied to word-Jaccard pairs — scalar-function parity check."""
@@ -374,6 +384,24 @@ def _q_image_stats(spark, sf_dir):
     return image_stats(_synth_df(spark))
 
 
+def _q_roc_stats_synth(spark, sf_dir):
+    """EstimateROC analog on the synthetic corpus: cluster-induced pair
+    confusion vs planted truth (sensitivity is the BASELINE.json recall
+    metric).  Rows-only: depends on the sketch pipeline."""
+    from mhap_spark.ops.rocstats import cluster_confusion
+    from mhap_spark.pipeline import run_pipeline
+    from mhap_spark.synth import generate_corpus
+
+    n = 600
+    corpus = generate_corpus(n, seed=42)
+    out = run_pipeline(spark, _synth_df(spark, n), MhapConfig(num_hashes=128))
+    truth = spark.createDataFrame(
+        list(zip(corpus["image_id"], [int(c) for c in corpus["true_cluster"]])),
+        "image_id string, true_cluster long",
+    )
+    return cluster_confusion(out["clusters"], truth)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -394,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_30d": _q_range_join,
         "median_value_by_type": _q_median_value_by_type,
         "pair_identity_scores": _q_pair_identity_scores,
+        "quantity_price_corr": _q_quantity_price_corr,
+        "roc_stats_synth": _q_roc_stats_synth,
         # rows-only (sketch/hash-dependent or synthetic-input)
         "approx_distinct": _q_approx_distinct,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
@@ -551,6 +581,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS median_value,
                    round(quantile_cont(value, 0.9), 6) AS p90_value
             FROM events GROUP BY event_type
+        """,
+        "quantity_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   round(avg(l_discount), 6) AS avg_discount,
+                   round(stddev_samp(l_discount), 6) AS sd_discount
+            FROM lineitem GROUP BY l_returnflag
         """,
         "pair_identity_scores": f"""
             WITH w AS (

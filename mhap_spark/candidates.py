@@ -2,7 +2,7 @@
 
 Spark-first re-expression of the reference's inverted index + vote counting
 (mhap/impl/MinHashSearch.java:85-204): the per-slot hash maps become a
-shuffle on (band_idx, band_hash); the per-probe vote counter becomes
+shuffle on the band key; the per-probe vote counter becomes
 ``groupBy(src, dst).count()``; the ``numMinMatches`` gate (:204) becomes a
 HAVING filter.  Pair-order dedup (``src < dst``, :199-219) is a predicate.
 
@@ -29,15 +29,18 @@ from mhap_spark.config import MhapConfig
 
 
 def exploded_bands(signatures: DataFrame) -> DataFrame:
-    """(image_id, band_idx, band_hash) — one row per signature band."""
+    """(image_id, band_hash) — one row per signature band.  The band index is
+    already folded into band_hash (minhash.band_hashes salts the accumulator
+    with the band ordinal), so carrying it separately would only widen every
+    shuffle row and key."""
     return signatures.select(
-        "image_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        "image_id", F.explode("bands").alias("band_hash")
     )
 
 
 def bucket_sizes(bands: DataFrame) -> DataFrame:
     """Bucket cardinalities; partial-agg safe under skew."""
-    return bands.groupBy("band_idx", "band_hash").agg(
+    return bands.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
 
@@ -69,15 +72,15 @@ def _eligible_bands(bands: DataFrame, sizes: DataFrame, cfg: MhapConfig) -> Data
     ok = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
-    return bands.join(ok, ["band_idx", "band_hash"]).select(
-        "image_id", "band_idx", "band_hash", "bucket_size"
+    return bands.join(ok, ["band_hash"]).select(
+        "image_id", "band_hash", "bucket_size"
     )
 
 
 def _pairs_grouped(eligible: DataFrame) -> DataFrame:
     """collect_list (bounded by the cap) + double explode — zero extra shuffle
     beyond the groupBy; pairs are emitted inside whole-stage codegen."""
-    grouped = eligible.groupBy("band_idx", "band_hash").agg(
+    grouped = eligible.groupBy("band_hash").agg(
         F.collect_list("image_id").alias("ids")
     )
     return (
@@ -100,20 +103,20 @@ def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> Dat
     cold_pairs = (
         cold.alias("l")
         .join(
-            cold.select("image_id", "band_idx", "band_hash").alias("r"),
-            ["band_idx", "band_hash"],
+            cold.select("image_id", "band_hash").alias("r"),
+            ["band_hash"],
         )
         .where(F.col("l.image_id") < F.col("r.image_id"))
         .select(F.col("l.image_id").alias("src"), F.col("r.image_id").alias("dst"))
     )
 
     hot_l = hot.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(s)))
-    hot_r = hot.select("image_id", "band_idx", "band_hash").withColumn(
+    hot_r = hot.select("image_id", "band_hash").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<long>"))
     )
     hot_pairs = (
         hot_l.alias("l")
-        .join(hot_r.alias("r"), ["band_idx", "band_hash", "salt"])
+        .join(hot_r.alias("r"), ["band_hash", "salt"])
         .where(F.col("l.image_id") < F.col("r.image_id"))
         .select(F.col("l.image_id").alias("src"), F.col("r.image_id").alias("dst"))
     )
@@ -130,7 +133,7 @@ def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
     Physical shape: ONE groupBy computes bucket size AND hub together, then
     one equi-join back to the exploded bands (the join reuses the groupBy's
     hash partitioning on the band key — no extra shuffle of the big side)."""
-    stats = bands.groupBy("band_idx", "band_hash").agg(
+    stats = bands.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size"),
         F.min("image_id").alias("src"),
     )
@@ -138,7 +141,7 @@ def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
     return (
-        bands.join(eligible, ["band_idx", "band_hash"])
+        bands.join(eligible, ["band_hash"])
         .where(F.col("image_id") != F.col("src"))
         .select("src", F.col("image_id").alias("dst"))
     )
@@ -156,15 +159,15 @@ def probe_candidates(
     sizes are capped exactly like the self-join path."""
     probe = exploded_bands(probe_sigs).withColumnRenamed("image_id", "probe_id")
     index = exploded_bands(indexed_sigs).withColumnRenamed("image_id", "index_id")
-    sizes = index.groupBy("band_idx", "band_hash").agg(
+    sizes = index.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
     index_ok = index.join(
         sizes.where(F.col("bucket_size") <= cfg.max_bucket_size),
-        ["band_idx", "band_hash"],
+        ["band_hash"],
     )
     return (
-        probe.join(index_ok, ["band_idx", "band_hash"])
+        probe.join(index_ok, ["band_hash"])
         .where(F.col("probe_id") != F.col("index_id"))
         .groupBy("probe_id", "index_id")
         .agg(F.count(F.lit(1)).alias("votes"))

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    No distinct here — duplicate edges pass through min-aggregations
+    unchanged and are collapsed once per round in _small_star (every
+    distinct is a full shuffle of the edge set)."""
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
@@ -25,7 +29,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -65,10 +68,12 @@ def connected_components(
     singletons map to themselves.
     """
     edges = pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    edges = edges.localCheckpoint()
+    # lazy localCheckpoint: the checksum action is the ONE job per round that
+    # both materializes the checkpoint and tests convergence
+    edges = edges.localCheckpoint(eager=False)
     prev = _checksum(edges)
     for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break

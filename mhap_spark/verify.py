@@ -50,12 +50,33 @@ def jaccard_to_identity_col(jaccard, k: int):
     )
 
 
+def bottom_k_jaccard_col(a, b):
+    """Bottom-k Jaccard as a pure JVM column expression over two ascending
+    distinct int64 arrays — algebraically identical to the merge loop in
+    mhap/sketch/BottomOverlapSketch.java:304-364: with k = min(|a|,|b|) and
+    u_k = the k smallest elements of the distinct union, score =
+    |{x ∈ u_k : x ∈ a ∩ b}| / k.  Whole-stage-codegen'd; no Python workers
+    in the verify path (they oversubscribe cores against the JVM join threads)."""
+    k = F.least(F.size(a), F.size(b))
+    u_k = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    inter = F.array_intersect(a, b)
+    hits = F.size(F.array_intersect(u_k, inter))
+    return F.when(k > 0, hits.cast("double") / k.cast("double")).otherwise(F.lit(0.0))
+
+
 def verified_pairs(
-    candidates: DataFrame, signatures: DataFrame, cfg: MhapConfig
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: MhapConfig,
+    impl: str = "jvm",
 ) -> DataFrame:
     """(src, dst, votes) ⋈ bottomk×2 → (src, dst, votes, jaccard, score) with
     score ≥ threshold.  Two shuffle joins against the (much wider) signature
-    table; Catalyst prunes signatures to (image_id, bottomk) at the scan."""
+    table; Catalyst prunes signatures to (image_id, bottomk) at the scan.
+
+    impl "jvm" (default): builtin array expressions; "arrow": the pandas-UDF
+    kernel (kept for cross-validation and as the template for richer stage-2
+    kernels that builtins can't express)."""
     bk = signatures.select("image_id", "bottomk")
     joined = (
         candidates.join(
@@ -72,11 +93,17 @@ def verified_pairs(
         )
     )
 
-    @F.pandas_udf(DoubleType())
-    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(bottom_k_jaccard_batch(a.tolist(), b.tolist()))
+    if impl == "jvm":
+        jaccard = bottom_k_jaccard_col(F.col("bk_src"), F.col("bk_dst"))
+    else:
 
-    scored = joined.withColumn("jaccard", jacc("bk_src", "bk_dst")).withColumn(
+        @F.pandas_udf(DoubleType())
+        def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(bottom_k_jaccard_batch(a.tolist(), b.tolist()))
+
+        jaccard = jacc("bk_src", "bk_dst")
+
+    scored = joined.withColumn("jaccard", jaccard).withColumn(
         "score", jaccard_to_identity_col(F.col("jaccard"), cfg.k)
     )
     gate = (F.col("score") >= F.lit(cfg.threshold)) & (
