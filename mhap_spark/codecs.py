@@ -129,5 +129,11 @@ def phash64(pixels: np.ndarray) -> int:
     return int(bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
 
-def phash64_batch(pixel_list) -> np.ndarray:
-    return np.array([phash64(p) for p in pixel_list], dtype=np.uint64)
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized phash over a (n, 32, 32, 3) uint8 stack."""
+    g = pixels.astype(np.float64).mean(axis=3)  # (n, 32, 32)
+    d = np.matmul(np.matmul(_DCT32, g), _DCT32.T)  # broadcast BLAS matmuls
+    block = d[:, :8, :8].reshape(len(g), 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint64)
+    return bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from mhap_spark.codecs import decode_image, encode_image, phash64
+from mhap_spark.codecs import decode_image, encode_image, phash64, phash64_batch
 
 def _make_vocab(n: int = 2000) -> list[str]:
     """Deterministic pseudo-word vocabulary.  Large enough that unrelated
@@ -110,27 +110,38 @@ def generate_corpus(
     for cid, size in enumerate(sizes):
         base_img = _base_image(rng)
         base_cap = _base_caption(rng)
-        for _ in range(size):
-            noise = rng.normal(0.0, 1.5, size=base_img.shape)
-            px = np.clip(base_img + noise, 0, 255).astype(np.uint8)
-            cap = _edit_caption(rng, base_cap) if size > 1 else base_cap
-            fmt = "png" if rng.random() < 0.5 else "qpng"
-            image_id.append(f"img{i:08d}")
-            pixels_col.append(px)
-            if with_images:
+        if with_images:
+            for _ in range(size):
+                noise = rng.normal(0.0, 1.5, size=base_img.shape)
+                px = np.clip(base_img + noise, 0, 255).astype(np.uint8)
+                cap = _edit_caption(rng, base_cap) if size > 1 else base_cap
+                fmt = "png" if rng.random() < 0.5 else "qpng"
+                image_id.append(f"img{i:08d}")
+                pixels_col.append(px)
                 enc = encode_image(px, fmt)
                 blob.append(enc)
                 fmt_col.append(fmt)
                 # phash derives from the STORED bytes (what a real ingest
                 # computes), so engine-side recompute-from-bytes matches exactly
                 phash_col[i] = phash64(decode_image(enc, fmt))
-            else:
+                caption.append(cap)
+                true_cluster[i] = cid
+                i += 1
+        else:
+            # bench tier: whole-cluster vectorized images + batched phash
+            noise = rng.normal(0.0, 1.5, size=(size, *base_img.shape))
+            px = np.clip(base_img[None] + noise, 0, 255).astype(np.uint8)
+            phash_col[i : i + size] = phash64_batch(px)
+            for j in range(size):
+                image_id.append(f"img{i + j:08d}")
+                pixels_col.append(px[j])
                 blob.append(b"")
                 fmt_col.append("none")
-                phash_col[i] = phash64(px)
-            caption.append(cap)
-            true_cluster[i] = cid
-            i += 1
+                caption.append(
+                    _edit_caption(rng, base_cap) if size > 1 else base_cap
+                )
+                true_cluster[i + j] = cid
+            i += size
 
     return {
         "image_id": image_id,
