@@ -47,6 +47,16 @@ class MhapConfig:
     candidate_mode: str = "pairs"
     star_min_votes: int = 2          # vote gate for star edges (bands where the
                                      # edge's hub is that bucket's min)
+    num_bands: int = 0               # bands used for bucketing; 0 = all
+                                     # (num_hashes/rows_per_band).  Subsampling
+                                     # bands cuts the candidate shuffle linearly;
+                                     # with slot-agreement p, a true pair still
+                                     # collides in ~p·num_bands buckets, so the
+                                     # vote gate keeps recall
+    freq_sample_mod: int = 1         # df-ratio estimation sample: keep rows with
+                                     # id_hash63 % mod == 0 (1 = all rows); at
+                                     # 10^12 rows the corpus-stats pass must be
+                                     # sampled — deterministic + oracle-replicable
 
     # --- stage 2: bottom-k Jaccard refinement ---
     ordered_sketch_size: int = 1536  # bottom-k size (mhap/main/MhapMain.java:85)
@@ -65,7 +75,8 @@ class MhapConfig:
     salt_buckets: int = 8            # salt fan-out for hot-band pair generation
 
     def band_count(self) -> int:
-        return self.num_hashes // self.rows_per_band
+        full = self.num_hashes // self.rows_per_band
+        return min(self.num_bands, full) if self.num_bands > 0 else full
 
     def min_band_matches(self) -> int:
         """Vote gate in band units: with r slots per band, m shared slots
@@ -86,7 +97,11 @@ class MhapConfig:
 PRESET_DEFAULT = MhapConfig()
 PRESET_FAST = MhapConfig(num_hashes=256, threshold=0.80, ordered_sketch_size=1000)
 PRESET_SENSITIVE = MhapConfig(num_hashes=768, num_min_matches=2, threshold=0.73)
-# Web-scale operating point: star candidate emission (linear in bucket size).
-PRESET_SCALE = MhapConfig(candidate_mode="star", star_min_votes=2)
+# Web-scale operating point: star candidate emission (linear in bucket size),
+# 128 of 512 slots used for bucketing (4x smaller candidate shuffle), df table
+# estimated on a 25% hash-sample.
+PRESET_SCALE = MhapConfig(
+    candidate_mode="star", star_min_votes=2, num_bands=128, freq_sample_mod=4
+)
 
 PRESETS = {1: PRESET_DEFAULT, 2: PRESET_FAST, 3: PRESET_SENSITIVE, 4: PRESET_SCALE}

@@ -24,24 +24,56 @@ from mhap_spark.config import MhapConfig
 from mhap_spark.shingles import batch_shingles, distinct_per_row
 
 
+def sample_rows(pdf: pd.DataFrame, mod: int) -> pd.DataFrame:
+    """Deterministic hash-sample: keep rows with id_hash63 % mod == 0.
+    Oracle-replicable (same GRAFT-HASH-1 id hash on both sides), unlike
+    Spark's Bernoulli sample()."""
+    if mod <= 1:
+        return pdf
+    from mhap_spark.hashing import string_id_hash63
+
+    keep = (string_id_hash63(pdf["image_id"].tolist()) % np.uint64(mod)) == 0
+    return pdf[keep]
+
+
 def distinct_shingle_df(df: DataFrame, cfg: MhapConfig) -> DataFrame:
-    """(shingle_hash long) — one row per (document, distinct shingle)."""
+    """(shingle_hash long) — one row per (sampled document, distinct shingle)."""
     schema = StructType([StructField("shingle_hash", LongType())])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = sample_rows(pdf, cfg.freq_sample_mod)
             flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
             _, keys, _, _ = distinct_per_row(flat, offs)
             yield pd.DataFrame({"shingle_hash": keys.view(np.int64)})
 
-    return df.select("caption", "phash").mapInPandas(gen, schema)
+    return df.select("image_id", "caption", "phash").mapInPandas(gen, schema)
+
+
+def sampled_doc_count(df: DataFrame, cfg: MhapConfig) -> int:
+    """Number of documents in the deterministic df-estimation sample."""
+    from pyspark.sql.types import IntegerType
+
+    if cfg.freq_sample_mod <= 1:
+        return df.count()
+    schema = StructType([StructField("n", IntegerType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(sample_rows(pdf, cfg.freq_sample_mod))]})
+
+    out = df.select("image_id").mapInPandas(gen, schema).agg(F.sum("n")).collect()
+    return int(out[0][0] or 0)
 
 
 def df_ratio_table(df: DataFrame, cfg: MhapConfig, n_docs: int | None = None) -> DataFrame:
     """(shingle_hash long, df_ratio double) with df_ratio ≥ filter_cutoff.
 
-    groupBy is map-side combinable (partial agg), so hot shingles don't skew."""
-    n = n_docs if n_docs is not None else df.count()
+    groupBy is map-side combinable (partial agg), so hot shingles don't skew.
+    With freq_sample_mod > 1 the ratio is estimated on the hash-sample
+    (denominator = sampled doc count), mirroring how a 10^12-row corpus-stats
+    pass is actually run."""
+    n = n_docs if n_docs is not None else sampled_doc_count(df, cfg)
     return (
         distinct_shingle_df(df, cfg)
         .groupBy("shingle_hash")

@@ -130,14 +130,18 @@ def batch_minhash(
     return sig
 
 
-def band_hashes(sig: np.ndarray, rows_per_band: int) -> np.ndarray:
+def band_hashes(sig: np.ndarray, rows_per_band: int, num_bands: int = 0) -> np.ndarray:
     """Fold r consecutive slots per band into a 64-bit bucket key.
 
-    sig: (n, num_hashes) int32 → (n, num_hashes//r) int64.  fmix64-chained so
-    a band key commits to (band index, all r slot values)."""
+    sig: (n, num_hashes) int32 → (n, nb) int64, nb = num_bands if >0 else
+    num_hashes//r (band subsampling = first nb bands; cuts the candidate
+    shuffle linearly, vote gate preserves recall).  fmix64-chained so a band
+    key commits to (band index, all r slot values)."""
     n, h = sig.shape
     r = rows_per_band
     nb = h // r
+    if num_bands > 0:
+        nb = min(num_bands, nb)
     u = np.ascontiguousarray(sig[:, : nb * r]).view(np.uint32).astype(np.uint64)
     u = u.reshape(n, nb, r)
     acc = np.tile((np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _GOLDEN, (n, 1))
@@ -164,7 +168,7 @@ def compute_signatures(
             rows, keys, tfs, row_starts = distinct_per_row(flat, offs)
             weights = batch_weights(keys, tfs, cfg, freq)
             sig = batch_minhash(rows, keys, weights, row_starts, num_hashes)
-            bands = band_hashes(sig, rpb)
+            bands = band_hashes(sig, rpb, cfg.num_bands)
             keys_signed = keys.view(np.int64)
             n = len(pdf)
             bottoms = [

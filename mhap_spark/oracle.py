@@ -37,11 +37,21 @@ def row_shingles(caption: str, phash: int, cfg: MhapConfig) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
 
 
-def df_ratio_table(all_shingles: list[np.ndarray]) -> dict[int, float]:
+def df_ratio_table(
+    all_shingles: list[np.ndarray],
+    ids: list[str] | None = None,
+    sample_mod: int = 1,
+) -> dict[int, float]:
     """Corpus document-frequency ratios (fraction of rows containing each
     shingle), keeping only entries ≥ filter_cutoff is the caller's choice —
     mirrors the reference's external k-mer frequency file
-    (mhap/sketch/FrequencyCounts.java:63-229)."""
+    (mhap/sketch/FrequencyCounts.java:63-229).  With sample_mod > 1 the same
+    deterministic hash-sample as the engine (id_hash63 % mod == 0) is used."""
+    from mhap_spark.hashing import string_id_hash63
+
+    if sample_mod > 1 and ids is not None:
+        keep = (string_id_hash63(ids) % np.uint64(sample_mod)) == 0
+        all_shingles = [sh for sh, k in zip(all_shingles, keep) if k]
     n_docs = len(all_shingles)
     counts: dict[int, int] = {}
     for sh in all_shingles:
@@ -251,7 +261,10 @@ def run_pipeline(corpus: dict, cfg: MhapConfig):
     ]
     freq = None
     if cfg.repeat_weight >= 0.0:
-        freq = FreqFilter(df_ratio_table(shingle_sets), cfg)
+        freq = FreqFilter(
+            df_ratio_table(shingle_sets, ids=ids, sample_mod=cfg.freq_sample_mod),
+            cfg,
+        )
     sigs = [weighted_minhash(sh, cfg, freq) for sh in shingle_sets]
     bottoms = [bottom_k(sh, cfg.ordered_sketch_size) for sh in shingle_sets]
     pairs = find_pairs(ids, sigs, bottoms, cfg)

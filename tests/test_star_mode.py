@@ -12,6 +12,10 @@ from mhap_spark.pipeline import run_pipeline
 from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus, truth_pairs
 
 CFG_STAR = MhapConfig(num_hashes=128, candidate_mode="star")
+# full scale preset shape at unit size: star + band subsampling + sampled df
+CFG_SCALE = MhapConfig(
+    num_hashes=128, candidate_mode="star", num_bands=32, freq_sample_mod=4
+)
 
 
 @pytest.fixture(scope="module")
@@ -45,6 +49,46 @@ def test_star_candidates_match_oracle(spark, corpus, input_df):
         )
     }
     assert got == want
+
+
+def test_scale_preset_matches_oracle_and_truth(spark, corpus, input_df):
+    """Band subsampling + hash-sampled df estimation: engine candidates still
+    equal the oracle's at the identical config, and recall holds."""
+    cfg = CFG_SCALE
+    freq = FreqTable.from_df(df_ratio_table(input_df, cfg), cfg)
+    sig_df = compute_signatures(input_df, cfg, freq)
+    got = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sig_df, cfg).collect()
+    }
+    shingle_sets = [
+        oracle.row_shingles(c, int(p), cfg)
+        for c, p in zip(corpus["caption"], corpus["phash"])
+    ]
+    freq_o = oracle.FreqFilter(
+        oracle.df_ratio_table(
+            shingle_sets, ids=corpus["image_id"], sample_mod=cfg.freq_sample_mod
+        ),
+        cfg,
+    )
+    sigs_o = [oracle.weighted_minhash(sh, cfg, freq_o) for sh in shingle_sets]
+    bottoms = [oracle.bottom_k(sh, cfg.ordered_sketch_size) for sh in shingle_sets]
+    want = {
+        (a, b): v
+        for a, b, v, *_ in oracle.find_pairs(
+            corpus["image_id"], sigs_o, bottoms, cfg.with_overrides(threshold=-1.0)
+        )
+    }
+    assert got == want
+    # bands actually subsampled
+    first = sig_df.select("bands").first()
+    assert len(first["bands"]) == 32
+
+    truth = truth_pairs(corpus["true_cluster"], corpus["image_id"])
+    out = run_pipeline(spark, input_df, cfg)
+    cl = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    hit = sum(1 for a, b in truth if cl[a] == cl[b])
+    assert hit / len(truth) >= 0.99
 
 
 def test_star_clusters_preserve_recall(spark, corpus, input_df):
