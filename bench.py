@@ -84,9 +84,12 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
     t0 = time.time()
     out = run_pipeline(spark, df, cfg)
     n_pairs = out["pairs"].count()
-    assign = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    clusters = out["clusters"].persist()
+    clusters.count()  # pipeline fully materialized here
     elapsed = time.time() - t0
 
+    # evaluation (driver-side collect + python recall) is NOT pipeline work
+    assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
     n_clusters = len(set(assign.values()))
     recall = _pair_recall(assign, corpus["true_cluster"], corpus["image_id"])
     funnel = bucket_stats(

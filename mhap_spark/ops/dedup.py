@@ -135,10 +135,13 @@ def simhash_docs(
 def simhash_near_dup_pairs(
     df: DataFrame, max_hamming: int = 6, k: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit simhash chunks (a pair within
     Hamming ≤ 6 of 64 bits shares at least one of 4 chunks — pigeonhole), then
-    exact Hamming via bit_count(xor) JVM-side."""
+    exact Hamming via bit_count(xor) JVM-side.  Chunk buckets above
+    ``max_bucket_size`` are dropped (counted in a pre-pass before any join) —
+    same noise-suppression shape as the MinHash band buckets."""
     sh = simhash_docs(df, k=k, id_col=id_col, text_col=text_col)
     chunks = sh.select(
         "doc_id",
@@ -157,6 +160,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    chunks = chunks.join(
+        sizes.where(F.col("bs").between(2, max_bucket_size)),
+        ["chunk_idx", "chunk_val"],
+    ).drop("bs")
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(r, on=["chunk_idx", "chunk_val"])
