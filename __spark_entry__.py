@@ -331,7 +331,10 @@ def _q_simhash_near_dup(spark, sf_dir):
 def _q_lang_id(spark, sf_dir):
     from mhap_spark.ops.textstats import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents"))
+    out = lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
 
 
 def _q_fingerprint(spark, sf_dir):
@@ -424,11 +427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_identity_scores": _q_pair_identity_scores,
         "quantity_price_corr": _q_quantity_price_corr,
         "roc_stats_synth": _q_roc_stats_synth,
+        "lang_id": _q_lang_id,
         # rows-only (sketch/hash-dependent or synthetic-input)
         "approx_distinct": _q_approx_distinct,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
         "simhash_near_dup": _q_simhash_near_dup,
-        "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "lsh_ann_neighbors": _q_lsh_ann,
         "mhap_signatures": _q_mhap_signatures,
@@ -441,7 +444,59 @@ _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
+    # SQL is generated against the SAME constants the Spark operators use, so
+    # the parity contract pins the formula, not a copy of it
+    from mhap_spark.ops.textstats import _LANG_PROFILES, _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    punct_class = r"[^!-/:-@\[-`{-~]"
+    tri_count = lambda tri: (
+        f"(length(lt) - length(replace(lt, '{tri}', ''))) / {len(tri)}"
+    )
+    lang_scores = {
+        lang: " + ".join(tri_count(t) for t in tris)
+        for lang, tris in _LANG_PROFILES.items()
+    }
     return {
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_distinct(string_split({_NORM}, ' ')) AS dts
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     len(list_intersect(dts, [{stoplist}]))::DOUBLE
+                       / {float(len(_STOPWORDS))} AS stop_ratio,
+                     length(regexp_replace(text, '{punct_class}', '', 'g'))::DOUBLE
+                       / n AS punct_ratio,
+                     least(n / 200.0, 1.0) AS len_score
+              FROM t)
+            SELECT doc_id,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(greatest(0.0, least(1.0,
+                         0.4*len_score + 0.4*stop_ratio
+                         + 0.2*(1.0 - 4.0*punct_ratio))), 6) AS quality
+            FROM s
+        """,
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce(lower(text), '') AS lt,
+                     greatest(length(text), 1) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     ({lang_scores['en']})::DOUBLE / n AS s_en,
+                     ({lang_scores['de']})::DOUBLE / n AS s_de,
+                     ({lang_scores['fr']})::DOUBLE / n AS s_fr
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred,
+                   round(greatest(s_en, s_de, s_fr), 6) AS lang_score
+            FROM s
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,

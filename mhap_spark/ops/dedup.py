@@ -132,17 +132,35 @@ def simhash_docs(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, max_hamming: int = 6, k: int = 8,
-    id_col: str = "doc_id", text_col: str = "text",
-    max_bucket_size: int = 512,
+def _chunk_bounds(n_chunks: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_chunks`` disjoint (start, width) spans whose
+    widths differ by at most 1 and cover every bit."""
+    base, extra = divmod(n_bits, n_chunks)
+    bounds, start = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def simhash_pairs_from_sketches(
+    sh: DataFrame, max_hamming: int = 6, max_bucket_size: int = 512
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit simhash chunks (a pair within
-    Hamming ≤ 6 of 64 bits shares at least one of 4 chunks — pigeonhole), then
-    exact Hamming via bit_count(xor) JVM-side.  Chunk buckets above
-    ``max_bucket_size`` are dropped (counted in a pre-pass before any join) —
-    same noise-suppression shape as the MinHash band buckets."""
-    sh = simhash_docs(df, k=k, id_col=id_col, text_col=text_col)
+    """(doc_id, simhash) → near-dup pairs with Hamming ≤ max_hamming.
+
+    Blocking is multi-index hashing (the invariant the reference's banded
+    index enforces via its confidence formula, mhap/sketch/BitVectorIndex.java:49-61):
+    the 64-bit sketch is split into ``max_hamming + 1`` DISJOINT chunks, so
+    any pair differing in ≤ max_hamming bits shares at least one chunk
+    verbatim — pigeonhole over max_hamming+1 buckets — making blocking recall
+    exactly 1.0 (up to the bucket cap).  Exact Hamming via bit_count(xor)
+    JVM-side.  Chunk buckets above ``max_bucket_size`` are dropped (counted
+    in a pre-pass before any join) — same noise-suppression shape as the
+    MinHash band buckets."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -151,11 +169,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", start)
+                        .bitwiseAND(F.lit(-1 if width == 64 else (1 << width) - 1))
                         .alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i, (start, width) in enumerate(_chunk_bounds(n_chunks))
                 ]
             )
         ).alias("c"),
@@ -180,4 +198,18 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["src", "dst"])
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 6, k: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """SimHash near-dup pairs over raw text: sketch (simhash_docs) then
+    blocked exact-Hamming join (simhash_pairs_from_sketches — blocking recall
+    1.0 for the given radius by construction)."""
+    sh = simhash_docs(df, k=k, id_col=id_col, text_col=text_col)
+    return simhash_pairs_from_sketches(
+        sh, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )

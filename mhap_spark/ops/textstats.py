@@ -30,8 +30,9 @@ _STOPWORDS = (
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_seen, distinct_ratio, avg_token_len) —
-    whitespace tokenization, all builtin functions."""
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    whitespace tokenization over the lowercased text (the same normal form
+    as quality_score and the dedup operators), all builtin functions."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -62,8 +63,10 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.lit(
         float(len(_STOPWORDS))
     )
+    # explicit ASCII class ≡ \p{Punct} — spelled out so the DuckDB oracle
+    # (RE2, no \p{Punct}) can pin the identical semantics
     punct_ratio = (
-        F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / F.length(t)
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / F.length(t)
     )
     len_score = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
     return df.select(

@@ -12,6 +12,7 @@ from mhap_spark.ops.dedup import (
     minhash_lsh_doc_pairs,
     simhash_docs,
     simhash_near_dup_pairs,
+    simhash_pairs_from_sketches,
     word_jaccard_pairs,
 )
 from mhap_spark.ops.similarity import (
@@ -75,6 +76,38 @@ def test_simhash_properties(spark, docs):
         for r in simhash_near_dup_pairs(docs, max_hamming=10, k=4).collect()
     }
     assert pairs[("0", "2")] == 0
+
+
+def test_simhash_blocking_recall_at_radius(spark):
+    """Planted pairs at Hamming 4–6 whose differing bits scatter across the
+    sketch must ALL be found (pigeonhole over max_hamming+1 disjoint chunks).
+    The round-1 4×16-bit blocking missed exactly these (VERDICT.md item 1)."""
+    rng = np.random.default_rng(7)
+    rows, expected = [], set()
+    vid = 0
+    for case in range(40):
+        base = int(rng.integers(0, 2**63, dtype=np.int64))
+        d = 4 + case % 3  # hamming 4, 5, 6
+        # adversarial scatter: spread flipped bits across the whole word
+        flip_bits = rng.choice(64, size=d, replace=False)
+        other = base
+        for b in flip_bits:
+            other ^= 1 << int(b)
+        other = np.int64(np.uint64(other & 0xFFFFFFFFFFFFFFFF))
+        a_id, b_id = f"p{vid:04d}a", f"p{vid:04d}b"
+        rows.append((a_id, int(np.int64(base))))
+        rows.append((b_id, int(other)))
+        expected.add((a_id, b_id))
+        vid += 1
+    sh = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = {
+        (r["src"], r["dst"])
+        for r in simhash_pairs_from_sketches(sh, max_hamming=6).collect()
+    }
+    missed = expected - got
+    assert not missed, f"blocking dropped true pairs: {sorted(missed)[:5]}"
+    for r in simhash_pairs_from_sketches(sh, max_hamming=6).collect():
+        assert r["hamming"] <= 6
 
 
 def test_cosine_topk_matches_numpy(spark):
