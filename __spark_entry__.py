@@ -347,7 +347,7 @@ def _q_lsh_ann(spark, sf_dir):
     from mhap_spark.ops.similarity import lsh_bucketed_neighbors
 
     return lsh_bucketed_neighbors(
-        _t(spark, sf_dir, "embeddings"), n_bits=12, n_tables=4, min_cos=0.35
+        _t(spark, sf_dir, "embeddings"), n_bits=12, n_tables=4, min_cos=0.35, dim=64
     )
 
 

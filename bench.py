@@ -53,7 +53,6 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
     A warmup pipeline run (10k rows, unmeasured) precedes the timed run: JIT
     compilation dominates cold-JVM wall clock (measured 3-4× on the candidate
     stage), and real clusters run long-lived warm executors."""
-    from mhap_spark.candidates import bucket_sizes, bucket_stats, exploded_bands
     from mhap_spark.config import PRESET_SCALE
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.session import build_session
@@ -92,9 +91,8 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
     assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
     n_clusters = len(set(assign.values()))
     recall = _pair_recall(assign, corpus["true_cluster"], corpus["image_id"])
-    funnel = bucket_stats(
-        bucket_sizes(exploded_bands(out["signatures"])), cfg
-    ).collect()[0]
+    # funnel metrics rode the pairs job as an Observation — zero extra jobs
+    funnel = dict(out["funnel_obs"].get)
     n_candidates = int(funnel["candidate_pairs_generated"] or 0)
     spark.stop()
     return {

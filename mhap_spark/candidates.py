@@ -23,7 +23,7 @@ explicit skew mitigation for hot bands"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from mhap_spark.config import MhapConfig
 
@@ -45,16 +45,15 @@ def bucket_sizes(bands: DataFrame) -> DataFrame:
     )
 
 
-def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
-    """One-row funnel metrics (mirrors the reference's stderr stats,
-    mhap/main/MhapMain.java:572-590).  Candidate count is mode-aware:
-    C(n,2) per bucket in "pairs" mode, n−1 in "star" mode."""
+def _funnel_exprs(cfg: MhapConfig) -> list:
+    """Aggregate expressions for the funnel metrics (shared by the standalone
+    bucket_stats query and the zero-extra-job Observation path)."""
     per_bucket = (
         F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
         if cfg.candidate_mode != "star"
         else F.col("bucket_size") - 1
     )
-    return sizes.agg(
+    return [
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1).otherwise(0)).alias(
             "n_buckets_capped"
@@ -65,7 +64,17 @@ def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
                 F.col("bucket_size").between(2, cfg.max_bucket_size), per_bucket
             ).otherwise(0)
         ).alias("candidate_pairs_generated"),
-    )
+    ]
+
+
+def bucket_stats(sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
+    """One-row funnel metrics (mirrors the reference's stderr stats,
+    mhap/main/MhapMain.java:572-590).  Candidate count is mode-aware:
+    C(n,2) per bucket in "pairs" mode, n−1 in "star" mode.
+
+    Prefer passing ``funnel_obs`` to candidate_pairs: the same metrics then
+    ride the pairs job as an Observation — zero extra jobs/scans."""
+    return sizes.agg(*_funnel_exprs(cfg))
 
 
 def _eligible_bands(bands: DataFrame, sizes: DataFrame, cfg: MhapConfig) -> DataFrame:
@@ -123,7 +132,9 @@ def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> Dat
     return cold_pairs.unionByName(hot_pairs)
 
 
-def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
+def _pairs_star(
+    bands: DataFrame, cfg: MhapConfig, funnel_obs: Observation | None = None
+) -> DataFrame:
     """Star emission: one (bucket-min → member) edge per bucket member —
     O(n) per bucket.  Connectivity within a bucket is preserved through the
     hub, so the downstream connected-components output is unchanged for any
@@ -137,6 +148,8 @@ def _pairs_star(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
         F.count(F.lit(1)).alias("bucket_size"),
         F.min("image_id").alias("src"),
     )
+    if funnel_obs is not None:
+        stats = stats.observe(funnel_obs, *_funnel_exprs(cfg))
     eligible = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
@@ -180,6 +193,7 @@ def candidate_pairs(
     cfg: MhapConfig,
     strategy: str = "grouped",
     hot_threshold: int = 64,
+    funnel_obs: Observation | None = None,
 ) -> DataFrame:
     """signatures → (src, dst, votes) with src < dst, votes ≥ gate.
 
@@ -188,10 +202,15 @@ def candidate_pairs(
     mhap/impl/MinHashSearch.java:161-204), gate = min_band_matches.
     mode "star": linear-cost emission for cluster workloads; gate =
     star_min_votes.
+
+    ``funnel_obs``: optional Observation — the bucket-funnel metrics
+    (n_buckets, capped, max size, candidates generated) are then computed as
+    a side effect of whatever action first materializes the pairs, instead
+    of a separate job re-scanning the band table (round-1 Amdahl fix).
     """
     bands = exploded_bands(signatures)
     if cfg.candidate_mode == "star":
-        pairs = _pairs_star(bands, cfg)
+        pairs = _pairs_star(bands, cfg, funnel_obs=funnel_obs)
         gate = cfg.star_min_votes
         return (
             pairs.groupBy("src", "dst")
@@ -199,6 +218,8 @@ def candidate_pairs(
             .filter(F.col("votes") >= F.lit(gate))
         )
     sizes = bucket_sizes(bands)
+    if funnel_obs is not None:
+        sizes = sizes.observe(funnel_obs, *_funnel_exprs(cfg))
     eligible = _eligible_bands(bands, sizes, cfg)
     if strategy == "grouped":
         pairs = _pairs_grouped(eligible)

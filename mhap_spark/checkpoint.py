@@ -56,17 +56,23 @@ class CheckpointStore:
     ) -> DataFrame:
         """Materialize a stage.  Records row count and per-partition lineage
         (partition id → rows) in the manifest; returns the re-read DataFrame
-        so downstream plans read the checkpoint, not the producing lineage."""
+        so downstream plans read the checkpoint, not the producing lineage.
+
+        The producing plan executes exactly ONCE (the parquet write); lineage
+        is derived from the re-read files, so the manifest describes the
+        partitions actually materialized on disk, not a pre-write shadow
+        evaluation (round-1 ADVICE fix)."""
         path = os.path.join(self.base_dir, stage)
         spark = df.sparkSession
-        lineage = None
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
         if partition_lineage:
-            lineage_df = df.groupBy(F.spark_partition_id().alias("part_id")).agg(
+            lineage_df = out.groupBy(F.spark_partition_id().alias("part_id")).agg(
                 F.count(F.lit(1)).alias("rows")
             )
             lineage = {str(r["part_id"]): int(r["rows"]) for r in lineage_df.collect()}
-        df.write.mode("overwrite").parquet(path)
-        out = spark.read.parquet(path)
+        else:
+            lineage = None
         m = self._manifest()
         m[stage] = {
             "config_hash": config_hash,

@@ -60,20 +60,31 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    pairs: DataFrame, vertices: DataFrame, max_iters: int = 50
+    pairs: DataFrame, vertices: DataFrame, max_iters: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """pairs(src,dst) + vertices(image_id) → (image_id, cluster_id string).
 
     cluster_id = minimum member id of the component (FIXTURES.md F4);
     singletons map to themselves.
+
+    ``check_every`` large/small-star rounds run per convergence check: each
+    check is a driver action (the ONE job that materializes the lazy
+    localCheckpoint AND tests the fixpoint), so batching rounds halves the
+    fixed driver latency of the CC loop — the dominant Amdahl term at small
+    inputs (BENCH/BASELINE.md round-1 decomposition).  Cost: at most
+    check_every−1 extra no-op rounds after the true fixpoint.
     """
+    check_every = max(1, check_every)
     edges = pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    # lazy localCheckpoint: the checksum action is the ONE job per round that
-    # both materializes the checkpoint and tests convergence
+    # lazy localCheckpoint: the checksum action is the ONE job per superstep
+    # that both materializes the checkpoint and tests convergence
     edges = edges.localCheckpoint(eager=False)
     prev = _checksum(edges)
-    for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+    for _ in range(0, max_iters, check_every):
+        for _r in range(check_every):
+            edges = _small_star(_large_star(edges))
+        edges = edges.localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break

@@ -65,6 +65,16 @@ class MhapConfig:
                                      # operating point (DNA's τ=0.78 identity ≈
                                      # jaccard 0.0095, too loose for near-dup
                                      # images; 0 disables)
+    # one-bit MinHash Hamming prefilter (mhap/sketch/MinHashBitSketch.java:31-92):
+    # signature-slot LSBs packed into longs at sketch time; candidate pairs
+    # whose packed-bit Hamming distance exceeds prefilter_max_hamming() are
+    # dropped BEFORE the wide bottom-k arrays are joined.  The bound is
+    # derived from the effective jaccard gate with a prefilter_margin_sd
+    # binomial safety margin, so a true pair is dropped with probability
+    # ≲ Φ(−margin) (≈1e-9 at 6σ).  Only filters usefully when the jaccard
+    # gate is ≳0.25 (else the bound exceeds the random-pair mean n/2).
+    bit_prefilter: bool = False
+    prefilter_margin_sd: float = 6.0
 
     # --- clustering ---
     cc_max_iters: int = 50
@@ -83,6 +93,24 @@ class MhapConfig:
         correspond to ceil(m / r) shared bands (r=1 → exactly MHAP's gate,
         mhap/impl/MinHashSearch.java:204)."""
         return max(1, -(-self.num_min_matches // self.rows_per_band))
+
+    def effective_min_jaccard(self) -> float:
+        """The binding stage-2 jaccard gate: max of the direct gate and the
+        jaccard implied by the identity threshold (inverse Mash transform,
+        mhap/sketch/BottomOverlapSketch.java:391-395: τ = exp(ln(2j/(1+j))/k)
+        ⇒ j = τᵏ/(2−τᵏ))."""
+        tk = self.threshold ** self.k
+        return max(self.min_jaccard, tk / (2.0 - tk))
+
+    def prefilter_max_hamming(self) -> int:
+        """Accept bound for the one-bit sketch prefilter: a pair with slot
+        agreement ≥ j mismatches each LSB w.p. (1−j)/2, so mismatch count is
+        ≲ Binomial(n, (1−j)/2); bound = mean + margin·σ_max (σ_max = √n/2)."""
+        import math
+
+        j = self.effective_min_jaccard()
+        n = self.num_hashes
+        return int(n * (1.0 - j) / 2.0 + self.prefilter_margin_sd * math.sqrt(n) / 2.0)
 
     def config_hash(self) -> str:
         """Stable hash of all semantic knobs — keys checkpoint manifests."""

@@ -53,8 +53,23 @@ SIGNATURE_SCHEMA = StructType(
         StructField("sig", ArrayType(IntegerType())),
         StructField("bottomk", ArrayType(LongType())),
         StructField("bands", ArrayType(LongType())),
+        StructField("bitsig", ArrayType(LongType())),
     ]
 )
+
+
+def pack_bitsig(sig: np.ndarray) -> np.ndarray:
+    """(n, num_hashes) int32 signatures → (n, ceil(h/64)) int64: each slot's
+    LSB packed little-endian into 64-bit words — the one-bit MinHash sketch
+    (mhap/sketch/MinHashBitSketch.java:31-56), enabling a bit_count(xor)
+    Hamming prefilter before the wide bottom-k join."""
+    n, h = sig.shape
+    pad = (-h) % 64
+    bits = (sig & 1).astype(np.uint8)
+    if pad:
+        bits = np.concatenate([bits, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return np.ascontiguousarray(packed).view(np.uint64).view(np.int64)
 
 
 def batch_weights(
@@ -182,6 +197,7 @@ def compute_signatures(
                     "sig": list(sig),
                     "bottomk": bottoms,
                     "bands": list(bands),
+                    "bitsig": list(pack_bitsig(sig)),
                 }
             )
 

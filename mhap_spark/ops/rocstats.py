@@ -24,23 +24,44 @@ def truth_pairs_df(truth: DataFrame) -> DataFrame:
 
 
 def pair_confusion(found: DataFrame, truth: DataFrame) -> DataFrame:
-    """One row: tp / fp / fn / sensitivity / ppv.
+    """One row: tp / fp / fn / tn / sensitivity / specificity / ppv.
 
     found: (src, dst) engine pairs (canonical src<dst);
-    truth: (image_id, true_cluster)."""
+    truth: (image_id, true_cluster).
+
+    Specificity (mhap/main/EstimateROC.java:819-840) comes for free here:
+    the reference must SAMPLE negative pairs because its truth is an interval
+    index it can only probe pointwise, but with tabular truth the universe of
+    pairs is exactly C(n,2) over the truth's id set, so
+    tn = C(n,2) − tp − fp − fn is exact, computed from one count-distinct —
+    no pair ever materialized."""
     t = truth_pairs_df(truth).withColumn("in_truth", F.lit(1))
     f = found.select("src", "dst").distinct().withColumn("in_found", F.lit(1))
     j = t.join(f, ["src", "dst"], "full_outer")
-    return j.agg(
+    n_ids = truth.agg(
+        F.count_distinct("image_id").alias("n_ids")
+    )
+    counts = j.agg(
         F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNotNull(), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(F.col("in_truth").isNull() & F.col("in_found").isNotNull(), 1).otherwise(0)).alias("fp"),
         F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNull(), 1).otherwise(0)).alias("fn"),
-    ).select(
-        "tp",
-        "fp",
-        "fn",
-        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("sensitivity"),
-        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("ppv"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_ids))
+        .withColumn(
+            "tn",
+            (F.col("n_ids") * (F.col("n_ids") - 1) / 2).cast("long")
+            - F.col("tp") - F.col("fp") - F.col("fn"),
+        )
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("sensitivity"),
+            F.round(F.col("tn") / (F.col("tn") + F.col("fp")), 6).alias("specificity"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("ppv"),
+        )
     )
 
 

@@ -112,20 +112,37 @@ def lsh_bucketed_neighbors(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: ``n_tables`` independent sign-bit
     bucketings (mirrors the cosine sketch, mhap/sketch/CosineDistanceSketch.java:33-71,
     and the banded index, mhap/sketch/BitVectorIndex.java:49-117); candidates
     = bucket collisions in any table, then exact cosine rescore ≥ min_cos.
 
+    Scale shape (round-2 fixes per VERDICT.md):
+
+    * bucket sizes are counted in a map-side-combinable pre-pass and buckets
+      above ``max_bucket_size`` dropped BEFORE any pair is formed — a hot
+      bucket (all-zeros embeddings, shard-level dup runs) can never turn the
+      self-join quadratic (same cap discipline as candidates.bucket_sizes);
+    * the pair join shuffles ONLY (id, table, bucket); full vectors are
+      joined back onto the deduped (src, dst) set for the rescore, so the
+      wide arrays cross the wire once per surviving candidate instead of
+      once per bucket row on both join sides;
+    * pass ``dim`` explicitly at scale — when None it is probed with a
+      single-row driver action (fine interactively, an extra job in a
+      pipeline).
+
     The hyperplane matrix is a broadcast literal; bucket ids are computed
     JVM-side as sign-bit sums, so the scan stays in whole-stage codegen."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "src long, dst long, cos_sim double"
-        )
-    dim = first["d"]
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "src long, dst long, cos_sim double"
+            )
+        dim = first["d"]
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
     )
@@ -157,30 +174,43 @@ def lsh_bucketed_neighbors(
         )
 
     buckets = base.select(
-        "id", "vec", "norm", F.explode(F.array(*bucket_cols)).alias("tb")
-    ).select("id", "vec", "norm", "tb.table_idx", "tb.bucket")
+        "id", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select("id", "tb.table_idx", "tb.bucket")
 
-    l = buckets.select(
-        F.col("id").alias("src"),
-        F.col("vec").alias("lvec"),
-        F.col("norm").alias("lnorm"),
-        "table_idx",
-        "bucket",
+    sizes = buckets.groupBy("table_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("bs")
     )
-    r = buckets.select(
-        F.col("id").alias("dst"),
-        F.col("vec").alias("rvec"),
-        F.col("norm").alias("rnorm"),
-        "table_idx",
-        "bucket",
-    )
+    eligible = buckets.join(
+        sizes.where(F.col("bs").between(2, max_bucket_size)),
+        ["table_idx", "bucket"],
+    ).drop("bs")
+
     cand = (
-        l.join(r, on=["table_idx", "bucket"])
+        eligible.withColumnRenamed("id", "src")
+        .join(eligible.withColumnRenamed("id", "dst"), on=["table_idx", "bucket"])
         .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+    vecs = base.select("id", "vec", "norm")
     return (
-        cand.select(
+        cand.join(
+            vecs.select(
+                F.col("id").alias("src"),
+                F.col("vec").alias("lvec"),
+                F.col("norm").alias("lnorm"),
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("dst"),
+                F.col("vec").alias("rvec"),
+                F.col("norm").alias("rnorm"),
+            ),
+            "dst",
+        )
+        .select(
             "src",
             "dst",
             (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(

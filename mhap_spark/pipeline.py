@@ -22,16 +22,16 @@ import os
 import sys
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 if __package__ in (None, ""):  # spark-submit by file path: repo root not on sys.path
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mhap_spark.candidates import bucket_sizes, bucket_stats, candidate_pairs, exploded_bands
+from mhap_spark.candidates import candidate_pairs
 from mhap_spark.checkpoint import CheckpointStore
 from mhap_spark.cluster import connected_components
 from mhap_spark.config import MhapConfig
-from mhap_spark.freq import FreqTable, df_ratio_table
+from mhap_spark.freq import FreqTable
 from mhap_spark.minhash import compute_signatures
 from mhap_spark.verify import verified_pairs
 
@@ -43,7 +43,11 @@ def run_pipeline(
     store: CheckpointStore | None = None,
     candidate_strategy: str = "grouped",
 ) -> dict[str, DataFrame]:
-    """Returns {"signatures", "pairs", "clusters"} DataFrames.
+    """Returns {"signatures", "pairs", "clusters"} DataFrames plus
+    "funnel_obs" (an Observation, or None when the pairs stage was resumed
+    from checkpoint): the bucket-funnel metrics ride the first action that
+    materializes the pairs — read ``out["funnel_obs"].get`` AFTER
+    materializing, never before (it blocks).
 
     With a store: stages already materialized under the current config hash
     are skipped (resume semantics, north rule)."""
@@ -56,7 +60,9 @@ def run_pipeline(
     else:
         freq = None
         if cfg.repeat_weight >= 0.0:
-            freq = FreqTable.from_df(df_ratio_table(input_df, cfg), cfg)
+            # one-job corpus-stats pass (scan + Arrow kernel execute once;
+            # doc-count markers ride the same shuffle)
+            freq = FreqTable.compute(input_df, cfg)
         signatures = compute_signatures(input_df, cfg, freq)
         if store is not None:
             signatures = store.write(signatures, "signatures", ch)
@@ -70,19 +76,23 @@ def run_pipeline(
             signatures = signatures.persist()
 
     # --- stage B: candidate + verified pairs --------------------------------
+    funnel_obs: Observation | None = None
     if store is not None and store.has("pairs", ch):
         pairs = store.read(spark, "pairs")
     else:
         t1 = time.time()
-        cands = candidate_pairs(signatures, cfg, strategy=candidate_strategy)
+        funnel_obs = Observation()
+        cands = candidate_pairs(
+            signatures, cfg, strategy=candidate_strategy, funnel_obs=funnel_obs
+        )
         pairs = verified_pairs(cands, signatures, cfg)
         if store is None:
             pairs = pairs.persist()  # consumed by CC and by the caller
         if store is not None:
+            # the checkpoint write is the action that populates funnel_obs —
+            # the funnel metrics cost zero extra jobs (round-1 Amdahl fix)
             pairs = store.write(pairs, "pairs", ch)
-            funnel = bucket_stats(
-                bucket_sizes(exploded_bands(signatures)), cfg
-            ).collect()[0].asDict()
+            funnel = dict(funnel_obs.get)
             funnel["elapsed_s"] = time.time() - t1
             funnel = {k: float(v) if v is not None else None for k, v in funnel.items()}
             store.write_metrics(spark, "pairs", funnel)
@@ -99,7 +109,12 @@ def run_pipeline(
             clusters = store.write(clusters, "clusters", ch)
             store.write_metrics(spark, "clusters", {"elapsed_s": time.time() - t2})
 
-    return {"signatures": signatures, "pairs": pairs, "clusters": clusters}
+    return {
+        "signatures": signatures,
+        "pairs": pairs,
+        "clusters": clusters,
+        "funnel_obs": funnel_obs,
+    }
 
 
 def _main() -> None:

@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mhap_spark.candidates import probe_candidates
+from mhap_spark.candidates import candidate_pairs, probe_candidates
 from mhap_spark.config import MhapConfig
 from mhap_spark.freq import FreqTable
 from mhap_spark.minhash import compute_signatures
@@ -29,9 +29,19 @@ from mhap_spark.verify import verified_pairs
 class IncrementalDedup:
     """foreachBatch sink: sketch → probe vs indexed signatures → append.
 
-    Directory layout under ``base_dir``: ``signatures/`` (accumulated
-    signature table), ``matches/`` (verified duplicate pairs per batch),
-    ``_stream_checkpoint/`` (Spark streaming offsets)."""
+    Directory layout under ``base_dir``: ``signatures/batch_id=N/``
+    (accumulated signature table, one partition dir per micro-batch),
+    ``matches/batch_id=N/`` (verified duplicate pairs per batch),
+    ``_stream_checkpoint/`` (Spark streaming offsets).
+
+    Duplicate coverage is complete (round-1 ADVICE fix): pairs WITHIN a
+    micro-batch are found by running the batch's own signatures through
+    stage-1 candidate generation, and pairs ACROSS batches by probing
+    against the accumulated index — union of both feeds one verify pass.
+
+    Writes are idempotent under foreachBatch retries: every batch overwrites
+    its own ``batch_id=N`` partition directory, so a replayed batch replaces
+    its previous (possibly partial) output instead of appending duplicates."""
 
     def __init__(self, base_dir: str, cfg: MhapConfig, freq: FreqTable | None = None):
         self.base_dir = base_dir
@@ -43,21 +53,33 @@ class IncrementalDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sigs = compute_signatures(batch_df, self.cfg, self.freq).persist()
+
+        # intra-batch duplicates: stage 1 over the batch's own signatures
+        cands = candidate_pairs(sigs, self.cfg)
+        both = sigs.select("image_id", "bottomk")
+
         if os.path.exists(self.sig_path):
-            indexed = spark.read.parquet(self.sig_path)
-            cands = probe_candidates(sigs, indexed, self.cfg).select(
-                F.col("probe_id").alias("src"),
-                F.col("index_id").alias("dst"),
-                "votes",
+            # cross-batch duplicates: probe vs STRICTLY EARLIER batches only
+            # (a retried batch must not probe its own half-written partition)
+            indexed = spark.read.parquet(self.sig_path).where(
+                F.col("batch_id") < F.lit(batch_id)
             )
-            both = sigs.select("image_id", "bottomk").unionByName(
-                indexed.select("image_id", "bottomk")
+            cands = cands.unionByName(
+                probe_candidates(sigs, indexed, self.cfg).select(
+                    F.col("probe_id").alias("src"),
+                    F.col("index_id").alias("dst"),
+                    "votes",
+                )
             )
-            matches = verified_pairs(cands, both, self.cfg).withColumn(
-                "batch_id", F.lit(batch_id)
-            )
-            matches.write.mode("append").parquet(self.match_path)
-        sigs.write.mode("append").parquet(self.sig_path)
+            both = both.unionByName(indexed.select("image_id", "bottomk"))
+
+        matches = verified_pairs(cands, both, self.cfg)
+        matches.write.mode("overwrite").parquet(
+            os.path.join(self.match_path, f"batch_id={batch_id}")
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.sig_path, f"batch_id={batch_id}")
+        )
         sigs.unpersist()
 
     def start(self, stream_df: DataFrame, trigger_available_now: bool = True):

@@ -64,6 +64,41 @@ def bottom_k_jaccard_col(a, b):
     return F.when(k > 0, hits.cast("double") / k.cast("double")).otherwise(F.lit(0.0))
 
 
+def hamming_prefilter(
+    candidates: DataFrame, signatures: DataFrame, cfg: MhapConfig
+) -> DataFrame:
+    """Gate candidate pairs on one-bit-sketch Hamming distance BEFORE the
+    wide bottom-k arrays are joined (mhap/sketch/MinHashBitSketch.java:31-92
+    + the index's early distance cut, mhap/sketch/BitVectorIndex.java:88-117).
+
+    The bitsig column is ~num_hashes/8 bytes vs ~8·ordered_sketch_size bytes
+    for bottomk (64 B vs 12 KiB at the default config), so pairs rejected
+    here never pull the 12 KiB arrays through the verify shuffle.  The bound
+    (cfg.prefilter_max_hamming) is conservative — see MhapConfig — so
+    surviving-verified output is unchanged w.h.p."""
+    bs = signatures.select("image_id", "bitsig")
+    joined = (
+        candidates.join(
+            bs.select(F.col("image_id").alias("src"), F.col("bitsig").alias("bs_src")),
+            "src",
+        )
+        .join(
+            bs.select(F.col("image_id").alias("dst"), F.col("bitsig").alias("bs_dst")),
+            "dst",
+        )
+    )
+    hamming = F.aggregate(
+        F.zip_with("bs_src", "bs_dst", lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        joined.withColumn("bit_hamming", hamming)
+        .where(F.col("bit_hamming") <= F.lit(cfg.prefilter_max_hamming()))
+        .select(*candidates.columns)
+    )
+
+
 def verified_pairs(
     candidates: DataFrame,
     signatures: DataFrame,
@@ -74,9 +109,14 @@ def verified_pairs(
     score ≥ threshold.  Two shuffle joins against the (much wider) signature
     table; Catalyst prunes signatures to (image_id, bottomk) at the scan.
 
+    With cfg.bit_prefilter, candidates first pass the narrow packed-bit
+    Hamming gate (hamming_prefilter) so fewer rows reach the wide joins.
+
     impl "jvm" (default): builtin array expressions; "arrow": the pandas-UDF
     kernel (kept for cross-validation and as the template for richer stage-2
     kernels that builtins can't express)."""
+    if cfg.bit_prefilter and "bitsig" in signatures.columns:
+        candidates = hamming_prefilter(candidates, signatures, cfg)
     bk = signatures.select("image_id", "bottomk")
     joined = (
         candidates.join(

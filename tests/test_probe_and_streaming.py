@@ -93,7 +93,29 @@ def test_incremental_streaming_dedup(spark, tmp_path):
         tuple(sorted((r["src"], r["dst"])))
         for r in run_pipeline(spark, full, CFG)["pairs"].collect()
     }
-    batch_of = {rows[i][0]: i // 50 for i in range(200)}
-    cross_batch = {p for p in batch_pairs if batch_of[p[0]] != batch_of[p[1]]}
-    missed = cross_batch - got
-    assert not missed, f"missed cross-batch pairs: {sorted(missed)[:5]}"
+    # round-2: intra-batch pairs are covered too (stage 1 on each batch's own
+    # signatures), so the streaming result must cover ALL batch-pipeline pairs
+    missed = batch_pairs - got
+    assert not missed, f"missed pairs: {sorted(missed)[:5]}"
+
+
+def test_streaming_retry_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (foreachBatch retry semantics) must not
+    duplicate signatures or matches — each batch owns its batch_id=N dir."""
+    corpus = generate_corpus(80, seed=9)
+    rows = corpus_to_rows(corpus)
+    base = str(tmp_path / "dedup")
+    sink = IncrementalDedup(base, CFG)
+    b0 = spark.createDataFrame(rows[:40], INPUT_SCHEMA_DDL)
+    b1 = spark.createDataFrame(rows[40:], INPUT_SCHEMA_DDL)
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    sigs1 = spark.read.parquet(os.path.join(base, "signatures"))
+    m1 = spark.read.parquet(os.path.join(base, "matches"))
+    n_sigs, n_matches = sigs1.count(), m1.count()
+    # replay batch 1 (as after a post-write pre-commit failure)
+    sink.process_batch(b1, 1)
+    sigs2 = spark.read.parquet(os.path.join(base, "signatures"))
+    m2 = spark.read.parquet(os.path.join(base, "matches"))
+    assert sigs2.count() == n_sigs == 80
+    assert m2.count() == n_matches

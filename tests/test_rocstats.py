@@ -24,7 +24,10 @@ def test_pair_confusion(spark, truth):
     )
     row = pair_confusion(found, truth).collect()[0]
     assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 2)
+    # universe = C(6,2) = 15 pairs → tn = 15 - 2 - 1 - 2 = 10
+    assert row["tn"] == 10
     assert row["sensitivity"] == pytest.approx(2 / 4)
+    assert row["specificity"] == pytest.approx(10 / 11)
     assert row["ppv"] == pytest.approx(2 / 3)
 
 
@@ -35,7 +38,9 @@ def test_cluster_confusion_perfect(spark, truth):
     )
     row = cluster_confusion(clusters, truth).collect()[0]
     assert (row["tp"], row["fp"], row["fn"]) == (4, 0, 0)
+    assert row["tn"] == 11
     assert row["sensitivity"] == 1.0 and row["ppv"] == 1.0
+    assert row["specificity"] == 1.0
 
 
 def test_cluster_confusion_overmerged(spark, truth):
@@ -47,3 +52,4 @@ def test_cluster_confusion_overmerged(spark, truth):
     n_all = len(list(itertools.combinations("abcdef", 2)))
     assert row["tp"] == 4 and row["fn"] == 0
     assert row["fp"] == n_all - 4
+    assert row["tn"] == 0 and row["specificity"] == 0.0
