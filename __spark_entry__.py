@@ -313,6 +313,35 @@ def _q_approx_distinct(spark, sf_dir):
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
 
+def _q_cms_word_freq(spark, sf_dir):
+    """Count-min sketch heavy hitters (mhap/sketch/CountMin.java:42-111):
+    CMS estimate next to exact count for the top-20 words.  Estimates are
+    hash-family-dependent → rows-only; the CMS guarantee (est ≥ exact,
+    overestimate ≤ e/width·N whp) is pinned by tests/test_sketches.py."""
+    import numpy as np
+
+    from mhap_spark.ops.sketches import CountMin
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("word")
+    )
+    keyed = words.select("word", F.xxhash64("word").alias("key"))
+    cms = CountMin.compute(keyed, "key", depth=4, width=4096)
+    top = (
+        keyed.groupBy("word", "key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(20)
+        .collect()
+    )
+    est = cms.estimate(np.array([r["key"] for r in top], dtype=np.int64))
+    rows = [(r["word"], int(r["exact_count"]), int(e)) for r, e in zip(top, est)]
+    return spark.createDataFrame(rows, "word string, exact_count long, cms_est long")
+
+
 def _q_minhash_doc_pairs(spark, sf_dir):
     from mhap_spark.ops.dedup import minhash_lsh_doc_pairs
 
@@ -430,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         # rows-only (sketch/hash-dependent or synthetic-input)
         "approx_distinct": _q_approx_distinct,
+        "cms_word_freq": _q_cms_word_freq,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
         "simhash_near_dup": _q_simhash_near_dup,
         "doc_fingerprint": _q_fingerprint,

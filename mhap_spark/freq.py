@@ -126,6 +126,80 @@ def df_ratio_table(
     )
 
 
+def histogram_stats(
+    hist: DataFrame,
+    value_col: str = "value",
+    count_col: str = "n",
+    percent: float = 0.99,
+) -> DataFrame:
+    """One row (mean, stdev, cut) over a (value, count) histogram — exact
+    semantics of mhap/main/GetHistogramStats.java:63-90: mean/stdev are
+    count-weighted; ``cut`` is the smallest value whose RUNNING value·count
+    mass (ascending value order) exceeds ``percent`` of the total mass.
+
+    The global-order window runs on the histogram, not the data — a
+    histogram's cardinality is the number of distinct values, so the single
+    required sort is bounded no matter how large the corpus that produced
+    it."""
+    from pyspark.sql import Window
+
+    v, c = F.col(value_col).cast("double"), F.col(count_col).cast("double")
+    totals = hist.agg(
+        F.sum(v * c).alias("mass"),
+        F.sum(c).alias("total"),
+        (F.sum(v * c) / F.sum(c)).alias("mean"),
+    )
+    w = Window.orderBy(F.col("val").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(v.alias("val"), c.alias("cnt")).withColumn(
+        "run_mass", F.sum(F.col("val") * F.col("cnt")).over(w)
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn("sq", F.col("cnt") * F.pow(F.col("val") - F.col("mean"), 2))
+        .agg(
+            F.first("mean").alias("mean"),
+            F.sqrt(F.sum("sq") / F.first("total")).alias("stdev"),
+            F.min(
+                F.when(
+                    F.col("run_mass") / F.col("mass") > F.lit(percent), F.col("val")
+                )
+            ).alias("cut"),
+        )
+    )
+
+
+def auto_filter_cutoff(
+    input_df: DataFrame, cfg: MhapConfig, percent: float = 0.99
+) -> float:
+    """Percentile-based filter_cutoff selection from the corpus itself (the
+    reference's GetHistogramStats workflow: build the k-mer count histogram,
+    take the mass-percentile cut, feed it back as --filter-threshold).
+
+    Returns the df RATIO at the cut, ready for
+    ``cfg.with_overrides(filter_cutoff=...)``.  One job: the shingle-count
+    aggregation reuses the same kernel as the df table; the histogram over
+    df_count values is tiny."""
+    counts = shingle_counts(
+        input_df, cfg.with_overrides(filter_cutoff=0.0)
+    ).persist()
+    try:
+        n_docs = counts.where(F.col("is_marker")).agg(F.sum("doc_sum")).collect()[0][0]
+        hist = (
+            counts.where(~F.col("is_marker"))
+            .groupBy(F.col("df_count").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = histogram_stats(hist, percent=percent).collect()[0]
+        cut = row["cut"]
+        if cut is None or not n_docs:
+            return cfg.filter_cutoff
+        return float(cut) / float(n_docs)
+    finally:
+        counts.unpersist()
+
+
 @dataclass
 class FreqTable:
     """Driver-side frozen frequency table → broadcast into kernels.

@@ -32,8 +32,6 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _PHASH_DOMAIN = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio salt
 
-_IGNORE = np.seterr  # (numpy overflow in uint64 ops is intentional)
-
 
 def fmix64(x: np.ndarray) -> np.ndarray:
     """murmur3 64-bit finalizer, vectorized. x: uint64 array."""

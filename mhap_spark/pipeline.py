@@ -132,6 +132,14 @@ def _main() -> None:
     ap.add_argument("--num-hashes", type=int, default=512)
     ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
     ap.add_argument(
+        "--auto-cutoff",
+        type=float,
+        default=None,
+        metavar="PCT",
+        help="derive filter_cutoff from the corpus shingle-count histogram "
+        "at this mass percentile (GetHistogramStats.java:63-90 workflow)",
+    )
+    ap.add_argument(
         "--preset",
         type=int,
         default=1,
@@ -149,6 +157,13 @@ def _main() -> None:
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
         spark.sparkContext.defaultParallelism
     )
+    if args.auto_cutoff is not None:
+        from mhap_spark.freq import auto_filter_cutoff
+
+        cfg = cfg.with_overrides(
+            filter_cutoff=auto_filter_cutoff(df, cfg, percent=args.auto_cutoff)
+        )
+        print(f"auto filter_cutoff={cfg.filter_cutoff:.3e}")
     store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
     out = run_pipeline(spark, df, cfg, store=store, candidate_strategy=args.strategy)
     n_pairs = out["pairs"].count()
