@@ -82,10 +82,13 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
 
     t0 = time.time()
     out = run_pipeline(spark, df, cfg)
-    n_pairs = out["pairs"].count()
     clusters = out["clusters"].persist()
-    clusters.count()  # pipeline fully materialized here
+    clusters.count()  # pipeline fully materialized here (CC materializes pairs)
     elapsed = time.time() - t0
+
+    # persisted by the pipeline and materialized by CC → cache-only count,
+    # correctly outside the timed window
+    n_pairs = out["pairs"].count()
 
     # evaluation (driver-side collect + python recall) is NOT pipeline work
     assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
@@ -106,6 +109,73 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
         "candidate_pairs_per_sec": round(n_candidates / elapsed, 1),
         "rows_per_sec": round(rows / elapsed, 1),
     }
+
+
+def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
+    """Per-stage wall seconds with explicit materialization boundaries
+    (persist+count between stages) — the decomposition BENCH/BASELINE.md
+    reports per-stage scaling from.  Boundaries add cache traffic, so the
+    stage sum exceeds the fused end-to-end time; ratios across core counts
+    are the signal."""
+    from mhap_spark.candidates import candidate_pairs
+    from mhap_spark.cluster import connected_components
+    from mhap_spark.config import PRESET_SCALE
+    from mhap_spark.freq import FreqTable
+    from mhap_spark.minhash import compute_signatures
+    from mhap_spark.pipeline import run_pipeline
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+    from mhap_spark.verify import verified_pairs
+
+    cfg = PRESET_SCALE
+    spark = build_session(f"bench_stages_{cores}", master=f"local[{cores}]")
+    # JIT warmup (see run_pipeline_bench)
+    wdf = spark.createDataFrame(
+        corpus_to_rows(generate_corpus(10_000, seed=1, with_images=False)),
+        INPUT_SCHEMA_DDL,
+    ).repartition(max(cores * 2, 8))
+    wout = run_pipeline(spark, wdf, cfg)
+    wout["clusters"].count()
+    wout["signatures"].unpersist()
+    wout["pairs"].unpersist()
+
+    df = (
+        spark.createDataFrame(
+            corpus_to_rows(generate_corpus(rows, seed=42, with_images=False)),
+            INPUT_SCHEMA_DDL,
+        )
+        .repartition(max(cores * 2, 8))
+        .persist()
+    )
+    df.count()
+
+    stages: dict[str, float] = {}
+    t = time.time()
+    freq = FreqTable.compute(df, cfg)
+    stages["df_table"] = round(time.time() - t, 2)
+
+    t = time.time()
+    sigs = compute_signatures(df, cfg, freq).persist()
+    sigs.count()
+    stages["sketch"] = round(time.time() - t, 2)
+
+    t = time.time()
+    cands = candidate_pairs(sigs, cfg).persist()
+    cands.count()
+    stages["candidates"] = round(time.time() - t, 2)
+
+    t = time.time()
+    pairs = verified_pairs(cands, sigs, cfg).persist()
+    pairs.count()
+    stages["verify"] = round(time.time() - t, 2)
+
+    t = time.time()
+    clusters = connected_components(pairs, sigs.select("image_id"))
+    clusters.count()
+    stages["cc"] = round(time.time() - t, 2)
+
+    spark.stop()
+    return {"cores": cores, "rows": rows, "stages": stages}
 
 
 def run_query_bench(sf_dir: str, cores: int) -> dict:
@@ -179,10 +249,42 @@ def scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     return results
 
 
+def stage_scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
+    """Per-stage seconds at both parallelism levels (interleaved, min-of-N —
+    see scaling_bench) plus per-stage speedup and efficiency."""
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cores in (lo, hi):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--stages-only", "--cores", str(cores), "--rows", str(rows),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs[cores].append(json.loads(line))
+    result: dict = {"rows": rows}
+    names = list(runs[lo][0]["stages"])
+    best = {
+        c: {s: min(r["stages"][s] for r in runs[c]) for s in names} for c in (lo, hi)
+    }
+    result[f"local[{lo}]"] = best[lo]
+    result[f"local[{hi}]"] = best[hi]
+    result["speedup"] = {
+        s: round(best[lo][s] / best[hi][s], 2) if best[hi][s] else None for s in names
+    }
+    result["efficiency"] = {
+        s: round((best[lo][s] / best[hi][s]) / (hi / lo), 3) if best[hi][s] else None
+        for s in names
+    }
+    return result
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--stages-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stage-scaling", action="store_true")
     ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -194,8 +296,16 @@ def main() -> None:
         print(json.dumps(run_pipeline_bench(args.cores, args.rows)))
         return
 
+    if args.stages_only:
+        print(json.dumps(run_stage_bench(args.cores, args.rows)))
+        return
+
     if args.scaling:
         print(json.dumps(scaling_bench(args.rows), indent=1))
+        return
+
+    if args.stage_scaling:
+        print(json.dumps(stage_scaling_bench(args.rows), indent=1))
         return
 
     t_all = time.time()

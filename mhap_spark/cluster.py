@@ -78,9 +78,11 @@ def connected_components(
     check_every = max(1, check_every)
     edges = pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     # lazy localCheckpoint: the checksum action is the ONE job per superstep
-    # that both materializes the checkpoint and tests convergence
+    # that both materializes the checkpoint and tests convergence; no
+    # pre-loop checksum — the first superstep always runs, saving one driver
+    # action per CC call (prev=None never equals a checksum)
     edges = edges.localCheckpoint(eager=False)
-    prev = _checksum(edges)
+    prev: tuple[int, int] | None = None
     for _ in range(0, max_iters, check_every):
         for _r in range(check_every):
             edges = _small_star(_large_star(edges))

@@ -132,6 +132,12 @@ def _main() -> None:
     ap.add_argument("--num-hashes", type=int, default=512)
     ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
     ap.add_argument(
+        "--m4-out",
+        default=None,
+        help="also write verified pairs as 12-column M4 text "
+        "(mhap/impl/MatchResult.java:98-113 layout) to this directory",
+    )
+    ap.add_argument(
         "--auto-cutoff",
         type=float,
         default=None,
@@ -168,6 +174,12 @@ def _main() -> None:
     out = run_pipeline(spark, df, cfg, store=store, candidate_strategy=args.strategy)
     n_pairs = out["pairs"].count()
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    if args.m4_out:
+        from mhap_spark.formats import to_m4
+
+        to_m4(out["pairs"], out["signatures"]).write.mode("overwrite").text(
+            args.m4_out
+        )
     print(f"pairs={n_pairs} clusters={n_clusters}")
     spark.stop()
 
