@@ -357,6 +357,19 @@ def _q_simhash_near_dup(spark, sf_dir):
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def _q_substring_dup_docs(spark, sf_dir):
+    """Suffix-array-substring dedup recast (north rule third family):
+    winnowed k-gram fingerprints — docs sharing an exact ≥ 47-char run
+    (window+k−1) share a fingerprint.  Hash-dependent → rows-only; the
+    winnowing guarantee and fingerprint parity are pinned by
+    tests/test_ops.py::test_substring_dup_pairs_winnowing."""
+    from mhap_spark.ops.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _t(spark, sf_dir, "documents"), k=16, window=32, min_shared=1
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from mhap_spark.ops.textstats import lang_id
 
@@ -377,6 +390,16 @@ def _q_lsh_ann(spark, sf_dir):
 
     return lsh_bucketed_neighbors(
         _t(spark, sf_dir, "embeddings"), n_bits=12, n_tables=4, min_cos=0.35, dim=64
+    )
+
+
+def _q_ivf_ann(spark, sf_dir):
+    """IVF coarse-quantizer ANN (second scale path next to LSH): spherical
+    k-means cells, multi-probe assignment, exact-cosine rescore."""
+    from mhap_spark.ops.similarity import ivf_neighbors
+
+    return ivf_neighbors(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, n_probe=3, min_cos=0.35
     )
 
 
@@ -462,8 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_freq": _q_cms_word_freq,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
         "simhash_near_dup": _q_simhash_near_dup,
+        "substring_dup_docs": _q_substring_dup_docs,
         "doc_fingerprint": _q_fingerprint,
         "lsh_ann_neighbors": _q_lsh_ann,
+        "ivf_ann_neighbors": _q_ivf_ann,
         "mhap_signatures": _q_mhap_signatures,
         "mhap_cluster_sizes": _q_mhap_cluster_sizes,
         "image_stats": _q_image_stats,

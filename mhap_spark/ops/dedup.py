@@ -124,6 +124,90 @@ def minhash_lsh_doc_pairs(
     )
 
 
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): the
+    distinct minima of every ``window`` consecutive k-gram hashes.
+
+    Guarantee: two documents sharing an exact substring of length
+    ≥ window + k − 1 characters share at least one selected fingerprint —
+    the position-robust property that makes this the scale-out stand-in for
+    suffix-array substring dedup (a suffix array is a global sorted
+    structure; winnowed fingerprints shard by hash)."""
+    n = len(hashes)
+    if n == 0:
+        return hashes
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(hashes, window).min(axis=1))
+
+
+FP_PAIR_SCHEMA = StructType(
+    [StructField("doc_id", StringType()), StructField("fp", LongType())]
+)
+
+
+def winnowed_fingerprints(
+    df: DataFrame, k: int = 16, window: int = 32,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — winnowing fingerprints of each document's character
+    k-gram hash stream (GRAFT-HASH-1 hashes, position order preserved),
+    vectorized per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams = caption_kgram_hashes_batch(pdf[text_col].tolist(), k)
+            ids, fps = [], []
+            for i, g in enumerate(grams):
+                sel = winnow(g, window)
+                if len(sel):
+                    ids.append(np.full(len(sel), str(pdf[id_col].iloc[i])))
+                    fps.append(sel.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+            else:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                                    "fp": pd.Series([], dtype=np.int64)})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, FP_PAIR_SCHEMA
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame, k: int = 16, window: int = 32, min_shared: int = 1,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Substring-level near-dup pairs — the Spark-first recast of
+    suffix-array substring deduplication (the third dedup family of the
+    task's north rule, alongside MinHash and SimHash; cf. the suffix-array
+    pipeline of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better").
+
+    A global suffix array cannot shard; winnowed k-gram fingerprints can:
+    any pair sharing an exact run of ≥ window + k − 1 characters shares a
+    fingerprint (see winnow), so the pair join on the fingerprint hash is
+    an exact blocking for long-substring duplication.  Same bucket-cap
+    discipline as every other pair generator; votes = number of shared
+    fingerprints (monotone in shared-substring length)."""
+    fps = winnowed_fingerprints(df, k=k, window=window, id_col=id_col, text_col=text_col)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bs"))
+    ok = fps.join(sizes.where(F.col("bs").between(2, max_bucket_size)), ["fp"]).drop("bs")
+    return (
+        ok.withColumnRenamed("doc_id", "src")
+        .join(ok.withColumnRenamed("doc_id", "dst"), ["fp"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= F.lit(min_shared))
+    )
+
+
 SIMHASH_SCHEMA = StructType(
     [StructField("doc_id", StringType()), StructField("simhash", LongType())]
 )

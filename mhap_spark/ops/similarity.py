@@ -104,6 +104,146 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
 
+def _kmeans_cosine(X: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Spherical k-means on unit vectors (driver-side, bounded sample):
+    centroids renormalized each Lloyd step; empty clusters keep their
+    previous centroid (deterministic)."""
+    rng = np.random.default_rng(seed)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 1e-12:
+                    C[j] = c / n
+    return C
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    sample_mod: int = 1,
+    max_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF centroids on a deterministic hash-sample of the corpus
+    (keep rows with xxhash64(id) % sample_mod == 0, bounded by max_sample) —
+    the coarse quantizer of an IVF index, trained driver-side like every
+    production IVF build, then broadcast into the assignment kernel."""
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_mod > 1:
+        s = s.where(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
+    rows = s.limit(max_sample).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("no vectors to train IVF centroids on")
+    return _kmeans_cosine(X, n_centroids, seed=seed)
+
+
+def ivf_neighbors(
+    df: DataFrame,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    min_cos: float = 0.8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    max_bucket_size: int = 4096,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN near-dup pairs via an IVF (inverted-file) coarse quantizer — the
+    second scale path next to lsh_bucketed_neighbors: vectors are assigned
+    to their ``n_probe`` nearest spherical-k-means centroids (multi-probe
+    assignment ⇒ neighbors straddling a Voronoi boundary still collide),
+    candidate pairs are same-cell collisions, then an exact cosine rescore.
+
+    Same scale discipline as the LSH variant: cells above
+    ``max_bucket_size`` are dropped in a count pre-pass, the pair join
+    carries only (id, cell), and vectors are joined back for the rescore.
+    The centroid matrix is a task-closure broadcast (n_centroids × dim
+    float64 — KiBs)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, n_centroids, sample_mod=sample_mod, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("cell", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            Xn = X[ok] / norms[ok]
+            sims = Xn @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = pdf["id"].to_numpy()[ok]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_probe),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    cells = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(assign, out_schema)
+    )
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("bs"))
+    ok_cells = cells.join(
+        sizes.where(F.col("bs").between(2, max_bucket_size)), ["cell"]
+    ).drop("bs")
+    cand = (
+        ok_cells.withColumnRenamed("id", "src")
+        .join(ok_cells.withColumnRenamed("id", "dst"), ["cell"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), "vec", "norm"
+    )
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("src"), F.col("vec").alias("lvec"),
+                        F.col("norm").alias("lnorm")),
+            "src",
+        )
+        .join(
+            vecs.select(F.col("id").alias("dst"), F.col("vec").alias("rvec"),
+                        F.col("norm").alias("rnorm")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def lsh_bucketed_neighbors(
     df: DataFrame,
     n_bits: int = 16,

@@ -110,6 +110,44 @@ def test_simhash_blocking_recall_at_radius(spark):
         assert r["hamming"] <= 6
 
 
+def test_substring_dup_pairs_winnowing(spark):
+    """Planted shared spans ≥ window+k−1 chars must pair (winnowing
+    guarantee); unrelated docs must not; fingerprints match a literal
+    python winnow oracle."""
+    from mhap_spark.hashing import caption_kgram_hashes
+    from mhap_spark.ops.dedup import substring_dup_pairs, winnow, winnowed_fingerprints
+
+    k, w = 8, 16  # guarantee threshold: shared span >= 23 chars
+    shared = "zq wv xj kq pz vy bw md gx"  # 26-char span, rare letters
+    rows = [
+        (0, f"left context alpha beta {shared} right context gamma", "en", "a", 0),
+        (1, f"totally different opening here {shared} and another tail", "en", "a", 0),
+        (2, "no overlap with anything else entirely separate words", "en", "a", 0),
+        (3, "fourth row again disjoint content nothing in common", "en", "a", 0),
+    ]
+    df = spark.createDataFrame(rows, DOCS_DDL)
+    pairs = {
+        (r["src"], r["dst"]): r["n_shared_fp"]
+        for r in substring_dup_pairs(df, k=k, window=w).collect()
+    }
+    assert ("0", "1") in pairs, f"planted substring pair missed: {pairs}"
+    assert ("2", "3") not in pairs
+
+    # fingerprint parity vs a literal oracle (sliding-window min, distinct)
+    got_fp = {
+        r["doc_id"]: r["fp"]
+        for r in winnowed_fingerprints(df, k=k, window=w).groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("fp")).alias("fp")).collect()
+    }
+    for doc_id, text, *_ in rows:
+        h = caption_kgram_hashes(text, k)
+        want = sorted(
+            int(x) for x in {min(h[i : i + w]) for i in range(max(len(h) - w + 1, 1))}
+        ) if len(h) else []
+        want = [np.int64(np.uint64(x)).item() for x in want]
+        assert got_fp[str(doc_id)] == want
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)
@@ -159,6 +197,33 @@ def test_embedding_near_dup_and_lsh_recall(spark):
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall}"
     assert ann <= exact | set()  # rescore gate means no false accepts
+
+
+def test_ivf_ann_recall(spark):
+    """IVF multi-probe recall vs exact near-dup pairs on clustered vectors;
+    rescore gate ⇒ no false accepts."""
+    from mhap_spark.ops.similarity import ivf_neighbors
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((10, 16))
+    rows, vid = [], 0
+    for b in range(10):
+        for _ in range(3):
+            v = base[b] + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["src"], r["dst"])
+        for r in embedding_near_dup_pairs(df, min_cos=0.95, block_col="label").collect()
+    }
+    ann = {
+        (r["src"], r["dst"])
+        for r in ivf_neighbors(df, n_centroids=8, n_probe=3, min_cos=0.95).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    assert ann <= exact  # exact-cosine rescore gate
 
 
 def test_token_stats(spark, docs):
