@@ -439,6 +439,28 @@ def _q_image_stats(spark, sf_dir):
     return image_stats(_synth_df(spark))
 
 
+def _q_multimodal_transforms(spark, sf_dir):
+    """Resize + frame-sample + audio-PCM plumbing over the synthetic image
+    corpus, summarized to one row (brief: multimodal ops with real Spark
+    plumbing; frame decode is a documented deterministic stub)."""
+    from mhap_spark.ops.multimodal import audio_pcm_stats, frame_sample, resize_images
+
+    df = _synth_df(spark, 200)
+    resized = resize_images(df, out_w=16, out_h=16)
+    frames = frame_sample(df, n_frames=2)
+    audio = audio_pcm_stats(df)  # image bytes as PCM16 — exercises the kernel
+    return (
+        resized.agg(
+            F.count(F.lit(1)).alias("n_resized"),
+            F.sum(F.when(F.col("resize_ok"), 1).otherwise(0)).alias("n_resize_ok"),
+        )
+        .crossJoin(frames.agg(F.count(F.lit(1)).alias("n_frames")))
+        .crossJoin(
+            audio.agg(F.round(F.avg("rms"), 6).alias("avg_rms"))
+        )
+    )
+
+
 def _q_roc_stats_synth(spark, sf_dir):
     """EstimateROC analog on the synthetic corpus: cluster-induced pair
     confusion vs planted truth (sensitivity is the BASELINE.json recall
@@ -492,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhap_signatures": _q_mhap_signatures,
         "mhap_cluster_sizes": _q_mhap_cluster_sizes,
         "image_stats": _q_image_stats,
+        "multimodal_transforms": _q_multimodal_transforms,
     }
 
 

@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -25,7 +25,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mhap_spark.codecs import decode_image, phash64
+from pyspark.sql.types import BinaryType
+
+from mhap_spark.codecs import decode_image, encode_image, phash64
 
 IMAGE_STATS_SCHEMA = StructType(
     [
@@ -83,3 +85,168 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt", "phash").mapInPandas(
         gen, IMAGE_STATS_SCHEMA
     )
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Separable bilinear resample (pure numpy, vectorized) — (h, w) or
+    (h, w, c) uint8 in/out."""
+    if px.ndim == 3:
+        return np.stack(
+            [resize_bilinear(px[..., c], out_h, out_w) for c in range(px.shape[2])],
+            axis=2,
+        )
+    h, w = px.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("resize_ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → bilinear resize → re-encode (same format), per Arrow batch —
+    a REAL multimodal transform end-to-end on the in-container pure-numpy
+    codecs; unsupported codecs surface as resize_ok=false rows (production
+    swaps the decode/encode pair behind the identical signature)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "resize_ok", "error")}
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                    rp = resize_bilinear(px, out_h, out_w)
+                    out_rows["bytes"].append(encode_image(rp, fmt))
+                    out_rows["resize_ok"].append(True)
+                    out_rows["error"].append("")
+                except Exception as e:
+                    out_rows["bytes"].append(bytes(blob))
+                    out_rows["resize_ok"].append(False)
+                    out_rows["error"].append(str(e))
+                out_rows["image_id"].append(img_id)
+                out_rows["w"].append(out_w)
+                out_rows["h"].append(out_h)
+                out_rows["fmt"].append(fmt)
+            yield pd.DataFrame(out_rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_w", IntegerType()),
+        StructField("frame_h", IntegerType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling PLUMBING (task brief): one input row fans out to
+    ``n_frames`` frame rows through a mapInPandas batch — the real
+    engineering content (1→N Arrow batch shape, binary frame payloads,
+    typed frame metadata).  No video codec ships in this container, so the
+    frame decoder is a DETERMINISTIC STUB: frame f is the decoded still
+    rolled by f rows and re-encoded (stable, content-derived, testable);
+    production replaces `_stub_decode_frame` with a real demuxer behind the
+    same signature."""
+
+    def _stub_decode_frame(px: np.ndarray, f: int) -> np.ndarray:
+        return np.roll(px, shift=f, axis=0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, ws, hs = [], [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                except Exception:
+                    continue  # undecodable rows contribute no frames
+                for f in range(n_frames):
+                    fr = _stub_decode_frame(px, f)
+                    ids.append(img_id)
+                    idxs.append(f)
+                    blobs.append(encode_image(fr, fmt))
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": blobs,
+                    "frame_w": pd.array(ws, dtype="int32"),
+                    "frame_h": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_pcm_stats(df: DataFrame, binary_col: str = "bytes", id_col: str = "image_id") -> DataFrame:
+    """Audio feature extraction over an opaque binary column interpreted as
+    raw 16-bit little-endian PCM — rms / peak / zero-crossing rate, whole
+    batches vectorized.  Container formats (wav/mp3/flac) need external
+    demuxers and are env-stubbed per the task brief; this pins the Spark
+    plumbing (schema, batch shape, vectorized kernel) those plug into."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ns = np.zeros(n, dtype=np.int64)
+            rms = np.zeros(n, dtype=np.float64)
+            peak = np.zeros(n, dtype=np.float64)
+            zc = np.zeros(n, dtype=np.int64)
+            for i, blob in enumerate(pdf[binary_col]):
+                b = bytes(blob)
+                samples = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+                ns[i] = len(samples)
+                if len(samples):
+                    x = samples.astype(np.float64) / 32768.0
+                    rms[i] = float(np.sqrt(np.mean(x * x)))
+                    peak[i] = float(np.abs(x).max())
+                    zc[i] = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col],
+                    "n_samples": ns,
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(gen, AUDIO_SCHEMA)
