@@ -198,6 +198,8 @@ def run_query_bench(sf_dir: str, cores: int) -> dict:
         "events_hourly",
         "minhash_doc_pairs",
         "simhash_near_dup",
+        "substring_dup_docs",
+        "ivf_ann_neighbors",
         "doc_fingerprint",
         "lang_id",
     ]
