@@ -76,6 +76,12 @@ class MhapConfig:
     bit_prefilter: bool = False
     prefilter_margin_sd: float = 6.0
 
+    # min-length load filter (mhap/main/MhapMain.java:79-81 min-store-length /
+    # minOlapLength analog): rows with fewer distinct shingles than this are
+    # dropped after sketching — too short to carry near-dup signal; 0 keeps
+    # the round-1 behavior (degenerate rows ride through with zeroed sigs)
+    min_shingles: int = 0
+
     # --- clustering ---
     cc_max_iters: int = 50
 

@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -201,6 +201,11 @@ def compute_signatures(
                 }
             )
 
-    return df.select("image_id", "caption", "phash").mapInPandas(
+    out = df.select("image_id", "caption", "phash").mapInPandas(
         gen, SIGNATURE_SCHEMA
     )
+    if cfg.min_shingles > 0:
+        # explicit min-length load filter (mhap/main/MhapMain.java:79-81
+        # analog); a plain predicate so Catalyst can push it into consumers
+        out = out.where(F.col("n_shingles") >= F.lit(cfg.min_shingles))
+    return out

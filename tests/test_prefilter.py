@@ -74,3 +74,21 @@ def test_prefilter_preserves_verified_pairs_and_reduces_join(spark):
     )
     sigs.unpersist()
     cands.unpersist()
+
+
+def test_min_shingles_load_filter(spark):
+    """Explicit min-length load filter (MhapMain min-store-length analog):
+    rows below the distinct-shingle floor are dropped at sketch time."""
+    from mhap_spark.synth import INPUT_SCHEMA_DDL
+
+    rows = [
+        ("long01", b"", 8, 8, "png", "a reasonably long caption with plenty of text", 0),
+        ("tiny01", b"", 8, 8, "png", "tiny", 0),  # < k chars -> 0 shingles
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    base = MhapConfig(num_hashes=64, use_phash_shingles=False)
+    all_rows = {r["image_id"] for r in compute_signatures(df, base, None).collect()}
+    assert all_rows == {"long01", "tiny01"}
+    filt = base.with_overrides(min_shingles=5)
+    kept = {r["image_id"] for r in compute_signatures(df, filt, None).collect()}
+    assert kept == {"long01"}
