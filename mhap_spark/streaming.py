@@ -103,3 +103,28 @@ def read_image_stream(
         .option("maxFilesPerTrigger", max_files)
         .parquet(input_dir)
     )
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream — the
+    standard Structured Streaming late-data pattern (task brief §streams):
+    rows later than ``watermark`` behind the max seen event time are
+    dropped, and a window's aggregate is emitted (append mode) once the
+    watermark passes its end, bounding state no matter how long the stream
+    runs.  Batch-equivalent of the ``events_hourly`` contract query."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -119,3 +119,67 @@ def test_streaming_retry_idempotent(spark, tmp_path):
     m2 = spark.read.parquet(os.path.join(base, "matches"))
     assert sigs2.count() == n_sigs == 80
     assert m2.count() == n_matches
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Streamed watermarked hourly counts must equal the batch groupBy on
+    the same files (availableNow drains everything, so no row is actually
+    late — this pins the plan shape and the append-mode emission)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mhap_spark.streaming import windowed_event_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=7 * i), f"t{i % 3}", float(i)) for i in range(60)
+    ]
+    ddl = "ts timestamp, event_type string, value double"
+    in_dir = str(tmp_path / "events_in")
+    os.makedirs(in_dir)
+    # time-ordered micro-batch files: arrival order tracks event time, so no
+    # row is later than the 2h watermark tolerance and nothing is dropped
+    for i in range(3):
+        spark.createDataFrame(rows[i * 20 : (i + 1) * 20], ddl).coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"chunk={i}"))
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_epoch"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+    want = {
+        (r["hour_epoch"], r["event_type"]): r["n_events"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"), "event_type", "n_events"
+        )
+        .collect()
+    }
+    # append mode emits only windows already closed by the final watermark
+    # (2h behind max event time → the last ~3 hourly windows stay open);
+    # every emitted window must match the batch aggregate exactly
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    n_types = 3
+    assert len(got) >= len(want) - 3 * n_types
