@@ -46,13 +46,18 @@ def _pair_recall(assign: dict[str, str], true_cluster, image_id) -> float:
     return hit / total if total else 1.0
 
 
-def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True) -> dict:
+def run_pipeline_bench(
+    cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 2
+) -> dict:
     """Synth corpus → full pipeline (web-scale star preset at the reference's
     512-hash sketch config); returns timings, funnel counts, planted recall.
 
-    A warmup pipeline run (10k rows, unmeasured) precedes the timed run: JIT
+    A warmup pipeline run (10k rows, unmeasured) precedes the timed runs: JIT
     compilation dominates cold-JVM wall clock (measured 3-4× on the candidate
-    stage), and real clusters run long-lived warm executors."""
+    stage), and real clusters run long-lived warm executors.  ``reps`` timed
+    runs are taken and the minimum reported — this host shows 2-4× wall-clock
+    swings between identical runs (BENCH/BASELINE.md), and min-of-N is the
+    standard defense."""
     from mhap_spark.config import PRESET_SCALE
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.session import build_session
@@ -80,11 +85,18 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
     )
     df.count()  # materialize input outside the timed region
 
-    t0 = time.time()
-    out = run_pipeline(spark, df, cfg)
-    clusters = out["clusters"].persist()
-    clusters.count()  # pipeline fully materialized here (CC materializes pairs)
-    elapsed = time.time() - t0
+    elapsed, all_elapsed, out, clusters = None, [], None, None
+    for _ in range(max(reps, 1)):
+        if out is not None:  # drop the previous rep's caches for a clean rep
+            out["signatures"].unpersist()
+            out["pairs"].unpersist()
+            clusters.unpersist()
+        t0 = time.time()
+        out = run_pipeline(spark, df, cfg)
+        clusters = out["clusters"].persist()
+        clusters.count()  # pipeline fully materialized here (CC materializes pairs)
+        all_elapsed.append(round(time.time() - t0, 2))
+    elapsed = min(all_elapsed)
 
     # persisted by the pipeline and materialized by CC → cache-only count,
     # correctly outside the timed window
@@ -108,6 +120,7 @@ def run_pipeline_bench(cores: int, rows: int = PIPELINE_ROWS, warmup: bool = Tru
         "dup_pair_recall": round(recall, 5),
         "candidate_pairs_per_sec": round(n_candidates / elapsed, 1),
         "rows_per_sec": round(rows / elapsed, 1),
+        "rep_elapsed_s": all_elapsed,
     }
 
 
