@@ -46,8 +46,25 @@ def _pair_recall(assign: dict[str, str], true_cluster, image_id) -> float:
     return hit / total if total else 1.0
 
 
+def _run_child(cmd: list[str]) -> dict:
+    """Run a bench child process, surface its stderr on failure, parse the
+    JSON result line (round-2 ADVICE: a crashed child used to die as an
+    opaque IndexError with stderr discarded)."""
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench child {cmd} exited {out.returncode}:\n{out.stderr[-4000:]}"
+        )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench child {cmd} produced no JSON line; stderr:\n{out.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def run_pipeline_bench(
-    cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 2
+    cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 3
 ) -> dict:
     """Synth corpus → full pipeline (web-scale star preset at the reference's
     512-hash sketch config); returns timings, funnel counts, planted recall.
@@ -249,9 +266,7 @@ def scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
                 "--rows",
                 str(rows),
             ]
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs[f"local[{cores}]"].append(json.loads(line))
+            runs[f"local[{cores}]"].append(_run_child(cmd))
     results: dict = {}
     for level, rs in runs.items():
         best = min(rs, key=lambda r: r["elapsed_s"])
@@ -274,9 +289,7 @@ def stage_scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> 
                 sys.executable, os.path.abspath(__file__),
                 "--stages-only", "--cores", str(cores), "--rows", str(rows),
             ]
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs[cores].append(json.loads(line))
+            runs[cores].append(_run_child(cmd))
     result: dict = {"rows": rows}
     names = list(runs[lo][0]["stages"])
     best = {

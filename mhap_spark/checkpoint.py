@@ -23,11 +23,35 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CheckpointStore:
-    def __init__(self, base_dir: str, run_id: str | None = None):
+    """``fmt="parquet"`` (default) writes path-addressed parquet dirs under
+    ``base_dir``.  ``fmt="iceberg"`` writes catalog tables
+    ``<table_prefix>.<stage>`` via the DataFrameWriterV2 API (requires the
+    iceberg-spark runtime on the session classpath and a configured catalog,
+    e.g. ``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog``);
+    the manifest/lineage/metrics protocol is identical either way — see
+    tests/test_pipeline.py::test_resume_from_checkpoint_iceberg for the
+    wired shape (skipped where the runtime jar is absent)."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        run_id: str | None = None,
+        fmt: str = "parquet",
+        table_prefix: str | None = None,
+    ):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported checkpoint format: {fmt}")
+        if fmt == "iceberg" and not table_prefix:
+            raise ValueError("fmt='iceberg' requires table_prefix='catalog.db'")
         self.base_dir = base_dir
+        self.fmt = fmt
+        self.table_prefix = table_prefix
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(base_dir, exist_ok=True)
         self._manifest_path = os.path.join(base_dir, "manifest.json")
+
+    def _table(self, stage: str) -> str:
+        return f"{self.table_prefix}.{stage}"
 
     # -- manifest -----------------------------------------------------------
     def _manifest(self) -> dict:
@@ -44,11 +68,11 @@ class CheckpointStore:
 
     def has(self, stage: str, config_hash: str) -> bool:
         entry = self._manifest().get(stage)
-        return (
-            entry is not None
-            and entry.get("config_hash") == config_hash
-            and os.path.exists(os.path.join(self.base_dir, stage))
-        )
+        if entry is None or entry.get("config_hash") != config_hash:
+            return False
+        if self.fmt == "iceberg":
+            return True  # manifest is authoritative; table existence checked at read
+        return os.path.exists(os.path.join(self.base_dir, stage))
 
     # -- IO -----------------------------------------------------------------
     def write(
@@ -62,10 +86,14 @@ class CheckpointStore:
         is derived from the re-read files, so the manifest describes the
         partitions actually materialized on disk, not a pre-write shadow
         evaluation (round-1 ADVICE fix)."""
-        path = os.path.join(self.base_dir, stage)
         spark = df.sparkSession
-        df.write.mode("overwrite").parquet(path)
-        out = spark.read.parquet(path)
+        if self.fmt == "iceberg":
+            df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
+            out = spark.read.table(self._table(stage))
+        else:
+            path = os.path.join(self.base_dir, stage)
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
         if partition_lineage:
             lineage_df = out.groupBy(F.spark_partition_id().alias("part_id")).agg(
                 F.count(F.lit(1)).alias("rows")
@@ -80,12 +108,14 @@ class CheckpointStore:
             "partitions": lineage,
             "run_id": self.run_id,
             "written_at": time.time(),
-            "format": "parquet",
+            "format": self.fmt,
         }
         self._save_manifest(m)
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return spark.read.table(self._table(stage))
         return spark.read.parquet(os.path.join(self.base_dir, stage))
 
     def write_metrics(self, spark: SparkSession, stage: str, metrics: dict) -> None:

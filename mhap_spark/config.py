@@ -73,6 +73,22 @@ class MhapConfig:
     # binomial safety margin, so a true pair is dropped with probability
     # ≲ Φ(−margin) (≈1e-9 at 6σ).  Only filters usefully when the jaccard
     # gate is ≳0.25 (else the bound exceeds the random-pair mean n/2).
+    #
+    # Deliberately OFF in every preset, by measurement (round-3): at the
+    # flagship star-mode operating point the votes≥2-of-128-bands gate
+    # already leaves a 96%-pure candidate pool (8k-row probe: 21,107
+    # candidates → 20,224 verified; max observed pair Hamming 286 vs bound
+    # 313 at j=0.04), so the prefilter would cut ZERO rows while adding two
+    # narrow joins.  It earns its keep only for tight direct gates
+    # (min_jaccard ≳ 0.25) on pairs-mode candidate pools — the regime
+    # tests/test_prefilter.py measures a 15% join-input cut in.
+    #
+    # Caveat with tf-idf weighting (repeat_weight ≥ 0): bitsig LSBs come
+    # from WEIGHTED slots, whose match probability is the weighted jaccard —
+    # the bound assumes that tracks the plain bottom-k jaccard the verify
+    # gate measures.  Holds empirically at the default 6σ margin
+    # (tests/test_prefilter.py::test_prefilter_preserves_output_with_freq_
+    # weighting); lower margins with weighting are on the user.
     bit_prefilter: bool = False
     prefilter_margin_sd: float = 6.0
 

@@ -72,6 +72,40 @@ def test_resume_from_checkpoint(spark, corpus, input_df, tmp_path):
     assert sum(m["signatures"]["partitions"].values()) == N_ROWS
 
 
+def test_resume_from_checkpoint_iceberg(spark, corpus, input_df, tmp_path):
+    """Same resume protocol against the Iceberg backend of CheckpointStore.
+
+    Skipped (not silently passed) where the iceberg-spark runtime jar is not
+    on the session classpath — this sandbox ships none (SURVEY.md §7.3 risk
+    5) — so the wired shape is pinned by a test either way: the store writes
+    ``local.db.<stage>`` tables via DataFrameWriterV2 and resumes off the
+    same manifest protocol as parquet."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("iceberg-spark runtime jar not on classpath in this sandbox")
+    for k, v in {
+        "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.local.type": "hadoop",
+        "spark.sql.catalog.local.warehouse": str(tmp_path / "wh"),
+    }.items():
+        spark.conf.set(k, v)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+    store = CheckpointStore(
+        str(tmp_path / "ckpt_ice"), fmt="iceberg", table_prefix="local.db"
+    )
+    out1 = run_pipeline(spark, input_df, CFG, store=store)
+    c1 = sorted((r["image_id"], r["cluster_id"]) for r in out1["clusters"].collect())
+    empty = spark.createDataFrame([], INPUT_SCHEMA_DDL)
+    store2 = CheckpointStore(
+        str(tmp_path / "ckpt_ice"), fmt="iceberg", table_prefix="local.db"
+    )
+    out2 = run_pipeline(spark, empty, CFG, store=store2)
+    c2 = sorted((r["image_id"], r["cluster_id"]) for r in out2["clusters"].collect())
+    assert c1 == c2
+    assert store._manifest()["signatures"]["format"] == "iceberg"
+
+
 def test_per_row_invariant_psnr_and_caption(spark, corpus, input_df):
     """BASELINE.json input_hint: decoded-pixel PSNR ≥ 40 dB (lossy), bit-exact
     (lossless), caption passes through unmodified."""
