@@ -5,10 +5,12 @@ The reference's precompute mode materializes sketches to a binary cache
 stage tables with a manifest, per the north rule "resumable from checkpoint
 with per-partition lineage + metrics".
 
-Storage-agnostic by design (SURVEY.md §7.3 risk 5): if an Iceberg catalog is
-configured on the session the same API writes Iceberg tables; in this sandbox
-(no iceberg-spark runtime jar) it transparently falls back to parquet dirs +
-a JSON manifest keyed by (stage, config_hash).  Resume = skip any stage whose
+Two storage backends behind one protocol (SURVEY.md §7.3 risk 5):
+``fmt="parquet"`` (default) writes path-addressed dirs, ``fmt="iceberg"``
+writes catalog tables via DataFrameWriterV2 (needs the iceberg-spark runtime
+jar + a configured catalog — absent in this sandbox, so its integration test
+is skipped-with-reason rather than silently green).  Either way the JSON
+manifest is keyed by (stage, config_hash); resume = skip any stage whose
 manifest entry matches the current config hash.
 """
 

@@ -81,38 +81,45 @@ def connected_components(
     the corpus (4×cores), so each of the ~5 shuffle stages per superstep
     paid corpus-scale task-launch overhead on a tiny, shrinking input — the
     one stage whose wall-clock GREW with cores (round-2 VERDICT:
-    19.1 s @ 8c → 32.0 s @ 32c).  After each convergence check the loop
-    re-derives the width from the observed edge count
-    (ceil(n / target_rows_per_task), floored at defaultParallelism so large
-    edge sets still use every core, capped at the session value) and sets it
-    for the next batch of rounds; the session conf is restored on exit.
-    Partition count never affects the result — only the fixpoint does.
+    19.1 s @ 8c → 32.0 s @ 32c).  A pre-loop checksum materializes the
+    deduped edge set at full session width (the one genuinely corpus-scale
+    shuffle here) and yields its count, so EVERY superstep — including the
+    first batch, where star-shaped dup components do most of their
+    converging — runs at ceil(n / target_rows_per_task) partitions, capped
+    at the session value.  Deliberately NO floor at the core count: these
+    rounds are task-launch-latency-bound, so a 912k-edge set is better
+    served by 4 partitions than by one per core (measured — a
+    defaultParallelism floor left cc anti-scaling 14.4 s @ 8c → 20.0 s
+    @ 32c because 32 cores still launched 8× the tasks per round); truly
+    large edge sets hit the session cap and use every core.  The pre-loop
+    checksum also exits before any superstep when the edge set is empty.
+    The session conf is restored on exit.  Partition
+    count never affects the result — only the fixpoint does.
     """
     check_every = max(1, check_every)
     spark = pairs.sparkSession
     orig_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    min_parts = spark.sparkContext.defaultParallelism
+
+    def width(n_edges: int) -> int:
+        return min(orig_parts, max(1, -(-n_edges // max(target_rows_per_task, 1))))
+
     edges = pairs.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    # lazy localCheckpoint: the checksum action is the ONE job per superstep
-    # that both materializes the checkpoint and tests convergence; no
-    # pre-loop checksum — the first superstep always runs, saving one driver
-    # action per CC call (prev=None never equals a checksum)
+    # lazy localCheckpoint + pre-loop checksum: one job that materializes the
+    # dedup at session width AND yields the count that sizes the loop
     edges = edges.localCheckpoint(eager=False)
-    prev: tuple[int, int] | None = None
+    prev = _checksum(edges)
     try:
-        for _ in range(0, max_iters, check_every):
-            for _r in range(check_every):
-                edges = _small_star(_large_star(edges))
-            edges = edges.localCheckpoint(eager=False)
-            cur = _checksum(edges)
-            if cur == prev:
-                break
-            prev = cur
-            loop_parts = min(
-                orig_parts,
-                max(min_parts, -(-cur[0] // max(target_rows_per_task, 1))),
-            )
-            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if prev[0] > 0:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width(prev[0])))
+            for _ in range(0, max_iters, check_every):
+                for _r in range(check_every):
+                    edges = _small_star(_large_star(edges))
+                edges = edges.localCheckpoint(eager=False)
+                cur = _checksum(edges)
+                if cur == prev:
+                    break
+                prev = cur
+                spark.conf.set("spark.sql.shuffle.partitions", str(width(cur[0])))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(orig_parts))
 

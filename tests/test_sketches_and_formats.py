@@ -108,3 +108,31 @@ def test_m4_without_signatures(spark):
         "src string, dst string, votes long, jaccard double, score double",
     )
     assert to_m4(pairs).collect()[0]["line"] == "x y 0.500000 2.000000 0 0 0 0 0 0 0 0"
+
+
+def test_bloom_filter_membership_and_fpr(spark):
+    """Bloom filter (FrequencyCounts.java:137,272-278 noise-membership
+    analog): zero false negatives, FPR near the (1-e^(-kn/m))^k formula,
+    bitmap identical across input partitionings (bit_or merge is
+    order-insensitive)."""
+    from mhap_spark.ops.sketches import BloomFilter, bloom_words
+
+    n, m_bits, k = 5000, 1 << 16, 4
+    members = np.arange(1_000_000, 1_000_000 + n, dtype=np.int64)
+    df = spark.createDataFrame([(int(x),) for x in members], "key long")
+
+    bf = BloomFilter.compute(df.repartition(8), "key", m_bits=m_bits, k_hashes=k)
+    assert bf.might_contain(members).all(), "no false negatives, ever"
+
+    probes = np.arange(5_000_000, 5_050_000, dtype=np.int64)  # disjoint
+    fpr = bf.might_contain(probes).mean()
+    expected = (1 - np.exp(-k * n / m_bits)) ** k
+    assert fpr <= 3 * expected + 1e-3, (fpr, expected)
+
+    # word table bounded by geometry and partitioning-invariant
+    w1 = {(r["word_idx"], r["bits"])
+          for r in bloom_words(df.repartition(2), "key", m_bits, k).collect()}
+    w8 = {(r["word_idx"], r["bits"])
+          for r in bloom_words(df.repartition(8), "key", m_bits, k).collect()}
+    assert w1 == w8
+    assert len(w1) <= m_bits // 64 + 1
