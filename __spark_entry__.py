@@ -386,6 +386,34 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_bloom_gram_words(spark, sf_dir):
+    """Distributed Bloom filter (mhap/sketch/FrequencyCounts.java:137,272-278
+    noise-membership analog) over the GRAFT-HASH-1 char 8-gram hashes of
+    documents.text: the merged bitmap as non-zero 64-bit words.  Fully
+    deterministic given the pinned hash family, so the DuckDB oracle
+    replicates it bit-for-bit (same fmix64 salts, same word layout)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from mhap_spark.hashing import caption_kgram_hashes_batch
+    from mhap_spark.ops.sketches import bloom_words
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grams = caption_kgram_hashes_batch(pdf["text"].tolist(), 8)
+            flat = (
+                np.concatenate(grams) if grams else np.empty(0, dtype=np.uint64)
+            )
+            yield pd.DataFrame({"h": flat.view(np.int64)})
+
+    hashes = (
+        _t(spark, sf_dir, "documents").select("text").mapInPandas(gen, "h long")
+    )
+    return bloom_words(hashes, "h", m_bits=1 << 16, k_hashes=4, seed=42)
+
+
 def _q_lsh_ann(spark, sf_dir):
     from mhap_spark.ops.similarity import lsh_bucketed_neighbors
 
@@ -510,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "substring_dup_docs": _q_substring_dup_docs,
         "doc_fingerprint": _q_fingerprint,
+        "bloom_gram_words": _q_bloom_gram_words,
         "lsh_ann_neighbors": _q_lsh_ann,
         "ivf_ann_neighbors": _q_ivf_ann,
         "mhap_signatures": _q_mhap_signatures,
@@ -636,6 +665,38 @@ def _fingerprint_oracle_sql(k: int = 8) -> str:
         SELECT d.doc_id, coalesce(a.fp, 0) AS fingerprint,
                coalesce(a.n_grams, 0) AS n_grams
         FROM documents d LEFT JOIN agg a ON CAST(d.doc_id AS VARCHAR) = a.doc_id
+    """
+
+
+def _bloom_oracle_sql(
+    k: int = 8, m_bits: int = 1 << 16, k_hashes: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replica of ops.sketches.bloom_words over the GRAFT-HASH-1
+    char k-gram hash stream: bit position j = fmix64(h ^ salt_j) % m_bits
+    with salt_j = seed ^ (GOLDEN·(2j+1) mod 2⁶⁴); words = bit_or of set
+    bits grouped by p//64, signed-int64 view.  Shares _gram_hash_ctes with
+    the winnowing/fingerprint oracles; salts computed from the SAME
+    constant the engine uses."""
+    from mhap_spark.ops.sketches import _GOLDEN
+
+    salts = [
+        seed ^ ((int(_GOLDEN) * (2 * j + 1)) % (1 << 64)) for j in range(k_hashes)
+    ]
+    pos_sel = "\nUNION ALL\n".join(
+        f"SELECT ({_fmix_sql(f'xor(h, {s}::UBIGINT)', shr1=False)}) % {m_bits} AS p "
+        "FROM grams"
+        for s in salts
+    )
+    bitsu = "bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INTEGER))"
+    signed = (
+        f"CAST(({bitsu})::HUGEINT - CASE WHEN {bitsu} >= 9223372036854775808::UBIGINT "
+        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+        WITH {_gram_hash_ctes(k)},
+        pos AS ({pos_sel})
+        SELECT CAST(p // 64 AS BIGINT) AS word_idx, {signed} AS bits
+        FROM pos GROUP BY 1
     """
 
 
@@ -863,4 +924,5 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_docs": _winnow_oracle_sql(k=16, window=32, cap=512,
                                                  min_shared=1),
         "doc_fingerprint": _fingerprint_oracle_sql(k=8),
+        "bloom_gram_words": _bloom_oracle_sql(k=8),
     }

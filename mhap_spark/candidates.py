@@ -207,7 +207,37 @@ def candidate_pairs(
     (n_buckets, capped, max size, candidates generated) are then computed as
     a side effect of whatever action first materializes the pairs, instead
     of a separate job re-scanning the band table (round-1 Amdahl fix).
+
+    With cfg.min_store_shingles > 0 (the reference's --min-store-length,
+    mhap/main/MhapMain.java:79): rows below the threshold probe the index
+    but are not stored in it — implemented as the asymmetric probe join
+    (probe side = everyone, index side = stored rows only) with unordered
+    canonicalization.  A both-stored pair is found from either direction
+    with identical votes (same shared-band set), so groupBy-max dedup is
+    exact; a (short, long) pair is found only via the long row's index
+    entry; (short, short) pairs are skipped — exactly the reference's
+    index-size/recall trade.  Star mode has no probe/store asymmetry
+    (hub emission), so combining them is rejected loudly.
     """
+    if cfg.min_store_shingles > 0:
+        if cfg.candidate_mode == "star":
+            raise ValueError(
+                "min_store_shingles applies to pairs/join candidate modes; "
+                "star-mode hub emission has no probe/store asymmetry"
+            )
+        stored = signatures.where(
+            F.col("n_shingles") >= F.lit(cfg.min_store_shingles)
+        )
+        found = probe_candidates(signatures, stored, cfg)
+        return (
+            found.select(
+                F.least("probe_id", "index_id").alias("src"),
+                F.greatest("probe_id", "index_id").alias("dst"),
+                "votes",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("votes").alias("votes"))
+        )
     bands = exploded_bands(signatures)
     if cfg.candidate_mode == "star":
         pairs = _pairs_star(bands, cfg, funnel_obs=funnel_obs)

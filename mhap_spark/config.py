@@ -92,11 +92,19 @@ class MhapConfig:
     bit_prefilter: bool = False
     prefilter_margin_sd: float = 6.0
 
-    # min-length load filter (mhap/main/MhapMain.java:79-81 min-store-length /
-    # minOlapLength analog): rows with fewer distinct shingles than this are
-    # dropped after sketching — too short to carry near-dup signal; 0 keeps
+    # min-length load filter (mhap/main/MhapMain.java:79-81 minOlapLength
+    # analog): rows with fewer distinct shingles than this are dropped
+    # entirely after sketching — too short to carry near-dup signal; 0 keeps
     # the round-1 behavior (degenerate rows ride through with zeroed sigs)
     min_shingles: int = 0
+    # store filter (mhap/main/MhapMain.java:79 --min-store-length;
+    # mhap/impl/MinHashSearch.java index insertion): rows below this many
+    # shingles are NOT stored in the band index but still PROBE it, so a
+    # (short, long) pair is found via the long row's index entry while
+    # (short, short) pairs are skipped — the reference's asymmetric
+    # index-size/recall trade.  0 disables (symmetric index).  Pairs/join
+    # modes only; star mode's hub emission has no probe/store asymmetry.
+    min_store_shingles: int = 0
 
     # --- clustering ---
     cc_max_iters: int = 50

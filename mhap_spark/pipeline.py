@@ -132,6 +132,14 @@ def _main() -> None:
     ap.add_argument("--num-hashes", type=int, default=512)
     ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
     ap.add_argument(
+        "--min-store-shingles",
+        type=int,
+        default=0,
+        help="store filter (mhap/main/MhapMain.java:79 --min-store-length): "
+        "rows below this shingle count probe the band index but are not "
+        "stored in it; 0 = symmetric index (pairs/join modes only)",
+    )
+    ap.add_argument(
         "--m4-out",
         default=None,
         help="also write verified pairs as 12-column M4 text "
@@ -158,7 +166,9 @@ def _main() -> None:
     from mhap_spark.config import PRESETS
 
     spark = build_session("mhap_pipeline", master=args.master)
-    cfg = PRESETS[args.preset].with_overrides(num_hashes=args.num_hashes)
+    cfg = PRESETS[args.preset].with_overrides(
+        num_hashes=args.num_hashes, min_store_shingles=args.min_store_shingles
+    )
     corpus = generate_corpus(args.rows, seed=args.seed)
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
         spark.sparkContext.defaultParallelism

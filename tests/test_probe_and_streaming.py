@@ -50,6 +50,58 @@ def test_probe_candidates_vs_self_join(spark):
     assert got_canon == want_canon
 
 
+def test_min_store_shingles_filter(spark):
+    """Store filter (mhap/main/MhapMain.java:79 --min-store-length): rows
+    below the threshold probe the index but are not stored, so (short, long)
+    pairs survive while (short, short) pairs are skipped; with the filter
+    disabled-by-threshold (0 or below every row) the asymmetric path must
+    reproduce the symmetric self-join exactly."""
+    import pyspark.sql.functions as F
+
+    corpus = generate_corpus(300, seed=21)
+    sigs = compute_signatures(_df(spark, corpus, 0, 300).repartition(4), CFG, None)
+    sigs = sigs.persist()
+    base = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sigs, CFG).collect()
+    }
+
+    # threshold below the corpus minimum ≡ symmetric index, bit-for-bit
+    lo = int(sigs.agg(F.min("n_shingles")).collect()[0][0])
+    assert lo > 0, "synth captions are long enough that every row shingles"
+    cfg_all = CFG.with_overrides(min_store_shingles=lo)
+    got_all = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sigs, cfg_all).collect()
+    }
+    assert got_all == base
+
+    # a real threshold: pairs among short rows vanish, everything else stays
+    thr = int(
+        sigs.agg(F.percentile_approx("n_shingles", 0.5)).collect()[0][0]
+    )
+    short_ids = {
+        r["image_id"]
+        for r in sigs.where(F.col("n_shingles") < thr).select("image_id").collect()
+    }
+    cfg_store = CFG.with_overrides(min_store_shingles=thr)
+    got = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sigs, cfg_store).collect()
+    }
+    want = {
+        k: v for k, v in base.items()
+        if not (k[0] in short_ids and k[1] in short_ids)
+    }
+    assert got == want
+    assert len(want) < len(base), "median threshold must actually drop pairs"
+
+    # star mode has no probe/store asymmetry — must refuse loudly
+    with pytest.raises(ValueError):
+        candidate_pairs(sigs, cfg_store.with_overrides(candidate_mode="star"))
+    sigs.unpersist()
+
+
 def test_incremental_streaming_dedup(spark, tmp_path):
     """Stream the corpus in file-chunks; every near-dup pair that spans
     batches must be found by the probe join."""
