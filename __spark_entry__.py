@@ -343,12 +343,18 @@ def _q_cms_word_freq(spark, sf_dir):
 
 
 def _q_minhash_doc_pairs(spark, sf_dir):
+    """Rows-only: a SQL replica would need the full 128-hash weighted-MinHash
+    chain (XORShift per-slot streams + tf-idf weighting) per shingle — the
+    engine↔oracle bit-exact signature parity lives in tests/test_engine_parity
+    instead."""
     from mhap_spark.ops.dedup import minhash_lsh_doc_pairs
 
     return minhash_lsh_doc_pairs(_t(spark, sf_dir, "documents"))
 
 
 def _q_simhash_near_dup(spark, sf_dir):
+    """Rows-only: simhash folds xxhash64 word hashes (JVM-internal family
+    DuckDB can't replicate); radius-recall guarantee is pytest-pinned."""
     from mhap_spark.ops.dedup import simhash_near_dup_pairs
 
     # the driver corpus is vocabulary-homogeneous, so raw pair lists are huge;
@@ -415,6 +421,9 @@ def _q_bloom_gram_words(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
+    """Rows-only: bucket membership depends on seeded Gaussian hyperplanes
+    (float matmul signs) — not SQL-replicable; recall is pytest-measured
+    against the exact brute-force baseline (`cosine_topk` IS oracle-checked)."""
     from mhap_spark.ops.similarity import lsh_bucketed_neighbors
 
     return lsh_bucketed_neighbors(
@@ -424,7 +433,9 @@ def _q_lsh_ann(spark, sf_dir):
 
 def _q_ivf_ann(spark, sf_dir):
     """IVF coarse-quantizer ANN (second scale path next to LSH): spherical
-    k-means cells, multi-probe assignment, exact-cosine rescore."""
+    k-means cells, multi-probe assignment, exact-cosine rescore.  Rows-only:
+    cell assignments depend on iterative float k-means — not SQL-replicable;
+    recall vs the exact baseline is pytest-measured."""
     from mhap_spark.ops.similarity import ivf_neighbors
 
     return ivf_neighbors(
@@ -441,6 +452,9 @@ def _synth_df(spark, n=600):
 
 
 def _q_mhap_signatures(spark, sf_dir):
+    """Rows-only: runs on the seeded synthetic image corpus (not the driver
+    parquet tables) and the signature values are sketch-internal — bit-exact
+    parity vs the single-node oracle is tests/test_engine_parity."""
     from mhap_spark.freq import FreqTable, df_ratio_table
     from mhap_spark.minhash import compute_signatures
 
@@ -452,6 +466,9 @@ def _q_mhap_signatures(spark, sf_dir):
 
 
 def _q_mhap_cluster_sizes(spark, sf_dir):
+    """Rows-only: full pipeline on the seeded synthetic corpus; cluster
+    assignments are pinned by planted-truth recall and byte-identical
+    cross-core-count outputs (BENCH/BASELINE.md), not by SQL."""
     from mhap_spark.pipeline import run_pipeline
 
     out = run_pipeline(spark, _synth_df(spark), MhapConfig(num_hashes=128))
@@ -463,6 +480,9 @@ def _q_mhap_cluster_sizes(spark, sf_dir):
 
 
 def _q_image_stats(spark, sf_dir):
+    """Rows-only: decodes the synthetic corpus's binary image column with the
+    pure-numpy codecs (PSNR/phash per-row invariant); DuckDB has no pixel
+    decoder, so the invariant is pytest-pinned instead."""
     from mhap_spark.ops.multimodal import image_stats
 
     return image_stats(_synth_df(spark))
