@@ -161,7 +161,8 @@ def _pairs_star(
 
 
 def probe_candidates(
-    probe_sigs: DataFrame, indexed_sigs: DataFrame, cfg: MhapConfig
+    probe_sigs: DataFrame, indexed_sigs: DataFrame, cfg: MhapConfig,
+    funnel_obs: Observation | None = None,
 ) -> DataFrame:
     """Two-table mode — the reference's ``-q`` usage (stream query sequences
     against an indexed set, mhap/main/MhapMain.java:511-541;
@@ -169,12 +170,19 @@ def probe_candidates(
     are matched against the indexed table with no pair-order pruning.
 
     Returns (probe_id, index_id, votes ≥ gate).  The indexed side's bucket
-    sizes are capped exactly like the self-join path."""
+    sizes are capped exactly like the self-join path.
+
+    ``funnel_obs`` (optional) rides the INDEX side's bucket sizes — in probe
+    mode ``candidate_pairs_generated`` therefore counts both-stored bucket
+    pairs (the symmetric-index formula), a lower bound on probe candidates;
+    the bucket counts/cap/max metrics are exact for the index."""
     probe = exploded_bands(probe_sigs).withColumnRenamed("image_id", "probe_id")
     index = exploded_bands(indexed_sigs).withColumnRenamed("image_id", "index_id")
     sizes = index.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
+    if funnel_obs is not None:
+        sizes = sizes.observe(funnel_obs, *_funnel_exprs(cfg))
     index_ok = index.join(
         sizes.where(F.col("bucket_size") <= cfg.max_bucket_size),
         ["band_hash"],
@@ -228,7 +236,7 @@ def candidate_pairs(
         stored = signatures.where(
             F.col("n_shingles") >= F.lit(cfg.min_store_shingles)
         )
-        found = probe_candidates(signatures, stored, cfg)
+        found = probe_candidates(signatures, stored, cfg, funnel_obs=funnel_obs)
         return (
             found.select(
                 F.least("probe_id", "index_id").alias("src"),

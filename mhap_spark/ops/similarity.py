@@ -330,9 +330,12 @@ def lsh_bucketed_neighbors(
         IntegerType, LongType, StructField, StructType,
     )
 
+    # id passes through the kernel untouched — its Arrow type must match the
+    # caller's id_col (string image_ids elsewhere in the repo), not a
+    # hardcoded long (round-3 ADVICE fix)
     code_schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", df.schema[id_col].dataType),
             StructField("table_idx", IntegerType()),
             StructField("bucket", LongType()),
         ]
