@@ -570,6 +570,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
+# DuckDB replica of hashing.canonicalize_caption (NFC + casefold + collapse of
+# Python str.split() whitespace).  The RE2 class is exactly the character set
+# str.split() treats as whitespace (\p{Z} = Zs+Zl+Zp, plus the ASCII/C1
+# controls and NEL \x85); trim runs AFTER the collapse so non-ASCII edge
+# whitespace (NBSP etc.) strips too.  lower() vs casefold(): identical except
+# on one-to-many foldings (ß→ss, ligatures, dotted-I) — the synth documents
+# corpus is pure ASCII where the two agree; parity incl. the non-ASCII
+# whitespace cases is pinned by tests/test_oracle.py (round-3 ADVICE fix).
+DUCKDB_CANON_EXPR = (
+    r"trim(regexp_replace(lower(nfc_normalize(text)),"
+    r" '[\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]+', ' ', 'g'))"
+)
+
 
 def _mulmod_sql(a: str, b: str) -> str:
     """a·b mod 2⁶⁴ in DuckDB: integer arithmetic rejects wraparound as
@@ -620,8 +633,7 @@ def _gram_hash_ctes(k: int) -> str:
     all_c = ", ".join(f"c{i}" for i in range(1, k + 1))
     return f"""
         canon AS (
-          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                 regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') AS s
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DUCKDB_CANON_EXPR} AS s
           FROM documents
         ),
         pos_tbl AS (

@@ -130,12 +130,13 @@ def df_ratio_table(
     freq_sample_mod > 1 the ratio is estimated on the deterministic
     hash-sample (denominator = sampled doc count), mirroring how a 10^12-row
     corpus-stats pass is actually run."""
-    if counts is None:
+    self_built = counts is None
+    if self_built:
         counts = shingle_counts(df, cfg).persist()
     n_docs = counts.where(F.col("is_marker")).agg(
         F.sum("doc_sum").alias("n_docs")
     )
-    return (
+    ratio = (
         counts.where(~F.col("is_marker"))
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -144,6 +145,15 @@ def df_ratio_table(
         )
         .filter(F.col("df_ratio") >= F.lit(cfg.filter_cutoff))
     )
+    if self_built:
+        # materialize the (cutoff-bounded) ratio table off the cached counts,
+        # then release the cache — a standalone call no longer leaks a cached
+        # vocabulary table for the session lifetime (round-3 ADVICE fix);
+        # localCheckpoint also cuts the lineage so the returned plan never
+        # re-runs the corpus scan
+        ratio = ratio.localCheckpoint(eager=True)
+        counts.unpersist()
+    return ratio
 
 
 def histogram_stats(

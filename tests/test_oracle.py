@@ -117,3 +117,47 @@ def test_oracle_pipeline_recall_on_planted_clusters():
     all_pairs = {(a, b) for a, b, *_ in pairs}
     fp = len(all_pairs - truth)
     assert fp <= max(5, 0.05 * len(truth)), f"{fp} false-positive pairs"
+
+
+def test_duckdb_canon_matches_engine():
+    """The DuckDB oracle canon (DUCKDB_CANON_EXPR, used by the three
+    hash-checked gram oracles) must equal hashing.canonicalize_caption
+    byte-for-byte — including non-ASCII whitespace (NBSP, em/thin space,
+    line/para separators, NEL, ideographic space) that RE2's plain \\s
+    misses (round-3 ADVICE fix).  lower-vs-casefold one-to-many foldings
+    (ß, ligatures) are a documented exclusion: the documents corpus is
+    ASCII, asserted here against the real testdata."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mhap_spark.hashing import canonicalize_caption
+
+    tricky = [
+        "Hello  World", " lead trail ", "tab\tand\nnewline",
+        "nbsp here", "em space", "line sep", "para sep",
+        "thin sp", "ideo　space", "  edge  ",
+        "NEL\x85char", "ctl\x1c\x1d\x1e\x1fs", "MiXeD CaSe", "", "   ",
+        "café résumé", "é combining",  # NFC composition
+        "\x0b\x0cverticals", "mixed \t   ws",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+    for i, s in enumerate(tricky):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {entrymod.DUCKDB_CANON_EXPR} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    want = [canonicalize_caption(s) for s in tricky]
+    assert got == want
+
+    # the ASCII assumption that makes lower() equal casefold() actually
+    # holds on the corpus the driver gate runs over
+    docs = con.execute(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') "
+        "WHERE text != regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')"
+    ).fetchone()[0]
+    assert docs == 0, f"{docs} non-ASCII documents; lower/casefold unproven"
