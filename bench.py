@@ -64,10 +64,16 @@ def _run_child(cmd: list[str]) -> dict:
 
 
 def run_pipeline_bench(
-    cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 3
+    cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 3,
+    mega: int = 0,
 ) -> dict:
     """Synth corpus → full pipeline (web-scale star preset at the reference's
     512-hash sketch config); returns timings, funnel counts, planted recall.
+
+    ``mega`` plants one duplicate cluster of that size (boilerplate-caption
+    adversary, ≫ the 512-row bucket cap) — the salted-oversize star path is
+    then on the hot path and recall measures whether the capped cluster
+    stays whole.
 
     A warmup pipeline run (10k rows, unmeasured) precedes the timed runs: JIT
     compilation dominates cold-JVM wall clock (measured 3-4× on the candidate
@@ -81,7 +87,7 @@ def run_pipeline_bench(
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 
     cfg = PRESET_SCALE
-    corpus = generate_corpus(rows, seed=42, with_images=False)
+    corpus = generate_corpus(rows, seed=42, with_images=False, mega_cluster=mega)
     spark = build_session(
         f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
     )
@@ -138,6 +144,7 @@ def run_pipeline_bench(
         "candidate_pairs_per_sec": round(n_candidates / elapsed, 1),
         "rows_per_sec": round(rows / elapsed, 1),
         "rep_elapsed_s": all_elapsed,
+        "mega_cluster": mega,
     }
 
 
@@ -314,6 +321,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--stage-scaling", action="store_true")
     ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
+    ap.add_argument("--mega", type=int, default=0,
+                    help="plant one duplicate cluster of this size")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -321,7 +330,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     if args.pipeline_only:
-        print(json.dumps(run_pipeline_bench(args.cores, args.rows)))
+        print(json.dumps(run_pipeline_bench(args.cores, args.rows, mega=args.mega)))
         return
 
     if args.stages_only:

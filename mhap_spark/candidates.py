@@ -47,11 +47,25 @@ def bucket_sizes(bands: DataFrame) -> DataFrame:
 
 def _funnel_exprs(cfg: MhapConfig) -> list:
     """Aggregate expressions for the funnel metrics (shared by the standalone
-    bucket_stats query and the zero-extra-job Observation path)."""
+    bucket_stats query and the zero-extra-job Observation path).
+
+    ``candidate_pairs_generated`` counts emitted edges exactly: C(n,2) per
+    eligible bucket in pairs modes, n−1 per bucket in star mode — where
+    star-salt counts oversize buckets too (salted emission still produces
+    exactly n−1 edges per bucket: members minus sub-hubs, plus sub-hub
+    chain links; the global min is always its own sub-bucket's hub).
+    ``n_buckets_capped`` counts over-cap buckets in every mode — dropped in
+    pairs/star-drop, salted in star-salt."""
+    star = cfg.candidate_mode == "star"
     per_bucket = (
-        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
-        if cfg.candidate_mode != "star"
-        else F.col("bucket_size") - 1
+        F.col("bucket_size") - 1
+        if star
+        else F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+    )
+    counted = (
+        F.col("bucket_size") >= 2
+        if star and cfg.oversize_star == "salt"
+        else F.col("bucket_size").between(2, cfg.max_bucket_size)
     )
     return [
         F.count(F.lit(1)).alias("n_buckets"),
@@ -59,11 +73,9 @@ def _funnel_exprs(cfg: MhapConfig) -> list:
             "n_buckets_capped"
         ),
         F.max("bucket_size").alias("max_bucket_size_seen"),
-        F.sum(
-            F.when(
-                F.col("bucket_size").between(2, cfg.max_bucket_size), per_bucket
-            ).otherwise(0)
-        ).alias("candidate_pairs_generated"),
+        F.sum(F.when(counted, per_bucket).otherwise(0)).alias(
+            "candidate_pairs_generated"
+        ),
     ]
 
 
@@ -141,9 +153,23 @@ def _pairs_star(
     bucket whose hub verifies against its members (near-identical rows).
     src < dst holds by construction (src is the bucket minimum).
 
+    Buckets larger than the cap (cfg.oversize_star == "salt", default):
+    members are salted into ceil(size/cap) sub-buckets by crc32(image_id);
+    each sub-bucket emits (sub-hub → member) edges and the sub-hubs chain to
+    the bucket's global min — still exactly size−1 edges (the global min is
+    always its own sub-bucket's hub), with no task ever holding more than
+    ~cap·n_bands rows of one key.  A 10^12-row corpus' boilerplate
+    mega-clusters (size ≫ cap in EVERY band) stay connected instead of
+    silently fragmenting under the old drop-only behavior.  The emitted
+    ``oversize`` flag lets the vote gate relax to 1 for these edges
+    (see candidate_pairs); salt assignment is crc32 so the numpy oracle
+    (zlib.crc32) replicates it bit-exactly.
+
     Physical shape: ONE groupBy computes bucket size AND hub together, then
-    one equi-join back to the exploded bands (the join reuses the groupBy's
-    hash partitioning on the band key — no extra shuffle of the big side)."""
+    equi-joins back to the exploded bands reuse that exchange (same key) —
+    no extra shuffle of the big side.  The oversize path adds one shuffle
+    of only the oversize rows on (band_hash, salt), whose key cardinality
+    is bounded by the salt fan-out."""
     stats = bands.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size"),
         F.min("image_id").alias("src"),
@@ -153,11 +179,39 @@ def _pairs_star(
     eligible = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
-    return (
+    edges = (
         bands.join(eligible, ["band_hash"])
         .where(F.col("image_id") != F.col("src"))
-        .select("src", F.col("image_id").alias("dst"))
+        .select("src", F.col("image_id").alias("dst"), F.lit(False).alias("oversize"))
     )
+    if cfg.oversize_star != "salt":
+        return edges
+
+    cap = cfg.max_bucket_size
+    over = stats.where(F.col("bucket_size") > cap).select(
+        "band_hash",
+        "src",
+        F.expr(f"(bucket_size + {cap - 1}) div {cap}").alias("n_salt"),
+    )
+    salted = bands.join(over, ["band_hash"]).withColumn(
+        "salt", F.pmod(F.crc32(F.encode("image_id", "UTF-8")), F.col("n_salt"))
+    )
+    sub = salted.groupBy("band_hash", "salt").agg(
+        F.min("image_id").alias("sub_hub"), F.first("src").alias("src")
+    )
+    member_edges = (
+        salted.join(sub.select("band_hash", "salt", "sub_hub"), ["band_hash", "salt"])
+        .where(F.col("image_id") != F.col("sub_hub"))
+        .select(
+            F.col("sub_hub").alias("src"),
+            F.col("image_id").alias("dst"),
+            F.lit(True).alias("oversize"),
+        )
+    )
+    hub_edges = sub.where(F.col("sub_hub") != F.col("src")).select(
+        "src", F.col("sub_hub").alias("dst"), F.lit(True).alias("oversize")
+    )
+    return edges.unionByName(member_edges).unionByName(hub_edges)
 
 
 def probe_candidates(
@@ -250,10 +304,22 @@ def candidate_pairs(
     if cfg.candidate_mode == "star":
         pairs = _pairs_star(bands, cfg, funnel_obs=funnel_obs)
         gate = cfg.star_min_votes
+        # edges that EVER came out of an oversize (salted) bucket pass at
+        # votes ≥ 1: sub-bucket membership jitters across bands when bucket
+        # sizes change n_salt, so the vote gate would split an edge's votes
+        # and fragment the mega-cluster; stage-2 verify is the real filter
+        # for these (volume stays linear — size−1 edges per bucket)
         return (
             pairs.groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("votes"))
-            .filter(F.col("votes") >= F.lit(gate))
+            .agg(
+                F.count(F.lit(1)).alias("votes"),
+                F.max("oversize").alias("any_oversize"),
+            )
+            .filter(
+                F.col("votes")
+                >= F.when(F.col("any_oversize"), F.lit(1)).otherwise(F.lit(gate))
+            )
+            .select("src", "dst", "votes")
         )
     sizes = bucket_sizes(bands)
     if funnel_obs is not None:

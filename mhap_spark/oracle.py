@@ -201,27 +201,56 @@ def find_pairs(
             key = tuple(int(v) for v in sig[b * r : (b + 1) * r])
             index[b].setdefault(key, []).append(row)
 
-    votes: dict[tuple[int, int], int] = {}
+    # per unordered pair: [vote count, ever-from-an-oversize-bucket]
+    votes: dict[tuple[int, int], list] = {}
     star = cfg.candidate_mode == "star"
+
+    def vote(p: tuple[int, int], oversize: bool) -> None:
+        rec = votes.setdefault(p, [0, False])
+        rec[0] += 1
+        rec[1] = rec[1] or oversize
+
     for b in range(n_bands):
         for bucket in index[b].values():
-            if len(bucket) < 2 or len(bucket) > cfg.max_bucket_size:
+            if len(bucket) < 2:
+                continue
+            oversize = len(bucket) > cfg.max_bucket_size
+            if oversize and not (star and cfg.oversize_star == "salt"):
                 continue
             if star:
                 hub = min(bucket, key=lambda r: ids[r])
-                for r in bucket:
-                    if r != hub:
-                        p = (hub, r)
-                        votes[p] = votes.get(p, 0) + 1
+                if not oversize:
+                    for r in bucket:
+                        if r != hub:
+                            vote((hub, r), False)
+                else:
+                    # salted sub-bucket emission — mirrors candidates._pairs_star:
+                    # salt = crc32(id) % ceil(size/cap); (sub-hub → member)
+                    # edges plus (global min → sub-hub) chain links
+                    import zlib
+
+                    cap = cfg.max_bucket_size
+                    n_salt = (len(bucket) + cap - 1) // cap
+                    groups: dict[int, list[int]] = {}
+                    for r in bucket:
+                        s = zlib.crc32(ids[r].encode("utf-8")) % n_salt
+                        groups.setdefault(s, []).append(r)
+                    for members in groups.values():
+                        sub_hub = min(members, key=lambda r: ids[r])
+                        for r in members:
+                            if r != sub_hub:
+                                vote((sub_hub, r), True)
+                        if sub_hub != hub:
+                            vote((hub, sub_hub), True)
             else:
                 for i in range(len(bucket)):
                     for j in range(i + 1, len(bucket)):
-                        p = (bucket[i], bucket[j])
-                        votes[p] = votes.get(p, 0) + 1
+                        vote((bucket[i], bucket[j]), False)
 
     out = []
-    gate = cfg.star_min_votes if star else cfg.min_band_matches()
-    for (i, j), v in votes.items():
+    base_gate = cfg.star_min_votes if star else cfg.min_band_matches()
+    for (i, j), (v, any_oversize) in votes.items():
+        gate = 1 if any_oversize else base_gate
         if v < gate:
             continue
         jac = bottom_k_jaccard(bottoms[i], bottoms[j])

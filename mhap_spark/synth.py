@@ -86,7 +86,7 @@ def _base_image(rng: np.random.Generator) -> np.ndarray:
 
 
 def generate_corpus(
-    n_rows: int, seed: int = 42, with_images: bool = True
+    n_rows: int, seed: int = 42, with_images: bool = True, mega_cluster: int = 0
 ) -> dict[str, np.ndarray | list]:
     """Build the corpus.  Returns columns (python lists / numpy arrays):
     image_id, bytes, w, h, fmt, caption, phash, true_cluster, pixels
@@ -94,9 +94,18 @@ def generate_corpus(
 
     with_images=False skips the (python-loop) PNG encode — phash comes from
     the raw pixels and ``bytes`` is empty; used by the large bench tiers where
-    only (caption, phash) feed the pipeline."""
+    only (caption, phash) feed the pipeline.
+
+    mega_cluster > 0 plants ONE duplicate cluster of exactly that size as
+    cluster 0 (the 100-TB boilerplate/empty-caption case — far beyond the
+    band-bucket cap), then fills the remaining rows with the usual Zipf
+    mix; 0 leaves the output byte-identical to earlier rounds."""
     rng = np.random.default_rng(seed)
-    sizes = _zipf_cluster_sizes(rng, n_rows)
+    if mega_cluster > n_rows:
+        raise ValueError("mega_cluster larger than corpus")
+    sizes = ([mega_cluster] if mega_cluster > 0 else []) + _zipf_cluster_sizes(
+        rng, n_rows - mega_cluster
+    )
 
     image_id: list[str] = []
     blob: list[bytes] = []
