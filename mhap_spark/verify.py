@@ -104,10 +104,24 @@ def verified_pairs(
     signatures: DataFrame,
     cfg: MhapConfig,
     impl: str = "jvm",
+    prune: bool = False,
 ) -> DataFrame:
     """(src, dst, votes) ⋈ bottomk×2 → (src, dst, votes, jaccard, score) with
     score ≥ threshold.  Two shuffle joins against the (much wider) signature
     table; Catalyst prunes signatures to (image_id, bottomk) at the scan.
+
+    ``prune``: semi-join the wide bottom-k table down to ids that actually
+    appear in a candidate pair before the joins — lossless (cannot change
+    the join result; identity pinned in tests/test_engine_parity.py).  OFF
+    by default, by measurement (tools/verify_bytes_probe.py, round 4): on
+    the bench corpus 98.2% of rows appear in ≥1 candidate (star-mode band
+    collisions put even singleton-cluster rows into shared buckets), so the
+    semi-join cut 1.8% of array bytes while ADDING a distinct + semi-join —
+    net shuffle-write −5.6% (230.4 → 243.3 MB at 100k rows).  Worth turning
+    ON only for corpora where most rows never reach a candidate pair (tight
+    vote gates / low dup density).  Note shuffle compression already tames
+    the array redundancy: the naive 2 × 100k × 12 KiB ≈ 2.4 GB ships as
+    230 MB lz4 — sorted small-magnitude int64 arrays compress ~10×.
 
     With cfg.bit_prefilter, candidates first pass the narrow packed-bit
     Hamming gate (hamming_prefilter) so fewer rows reach the wide joins.
@@ -118,6 +132,13 @@ def verified_pairs(
     if cfg.bit_prefilter and "bitsig" in signatures.columns:
         candidates = hamming_prefilter(candidates, signatures, cfg)
     bk = signatures.select("image_id", "bottomk")
+    if prune:
+        pair_ids = (
+            candidates.select(F.col("src").alias("image_id"))
+            .union(candidates.select(F.col("dst").alias("image_id")))
+            .distinct()
+        )
+        bk = bk.join(pair_ids, "image_id", "left_semi")
     joined = (
         candidates.join(
             bk.select(

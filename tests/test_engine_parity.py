@@ -111,6 +111,23 @@ def test_verified_pairs_match_oracle(spark, corpus, oracle_state, engine_sigs):
         assert got[k][2] == pytest.approx(want[k][2], abs=1e-9)
 
 
+def test_verified_pairs_prune_is_lossless(spark, corpus, engine_sigs):
+    """prune=True semi-joins the wide bottom-k table to candidate ids before
+    the verify joins — it must be invisible in the output (it is a plan
+    optimization, measured in tools/verify_bytes_probe.py)."""
+    sig_df, _ = engine_sigs
+    cands = candidate_pairs(sig_df, CFG)
+    base = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"], r["score"])
+        for r in verified_pairs(cands, sig_df, CFG, prune=False).collect()
+    }
+    pruned = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"], r["score"])
+        for r in verified_pairs(cands, sig_df, CFG, prune=True).collect()
+    }
+    assert base == pruned
+
+
 def test_connected_components_matches_union_find(spark):
     rng = np.random.default_rng(5)
     nodes = [f"n{i:04d}" for i in range(300)]
