@@ -452,9 +452,13 @@ def _synth_df(spark, n=600):
 
 
 def _q_mhap_signatures(spark, sf_dir):
-    """Rows-only: runs on the seeded synthetic image corpus (not the driver
-    parquet tables) and the signature values are sketch-internal — bit-exact
-    parity vs the single-node oracle is tests/test_engine_parity."""
+    """Per-row VALUE digests of the core sketch kernel: xor-folds of the
+    slot signature, bottom-k sketch, band hashes, and packed bit-sketch.
+    Hash-checked (round-4): the oracle side is a VALUES literal computed by
+    the independent single-node numpy oracle (oracle.py) over the identical
+    seeded corpus — the engine's Arrow kernel is compared value-for-value
+    by the driver gate, not just row-counted.  A change to ANY slot of ANY
+    row flips its xor digest."""
     from mhap_spark.freq import FreqTable, df_ratio_table
     from mhap_spark.minhash import compute_signatures
 
@@ -462,7 +466,83 @@ def _q_mhap_signatures(spark, sf_dir):
     df = _synth_df(spark)
     freq = FreqTable.from_df(df_ratio_table(df, cfg), cfg)
     sigs = compute_signatures(df, cfg, freq)
-    return sigs.select("image_id", "n_shingles", F.size("sig").alias("sig_len"))
+    xf = lambda c: F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x))
+    return sigs.select(
+        "image_id",
+        "n_shingles",
+        F.size("sig").alias("sig_len"),
+        xf(F.col("sig").cast("array<long>")).alias("sig_xor"),
+        xf("bottomk").alias("bottomk_xor"),
+        xf("bands").alias("bands_xor"),
+        xf("bitsig").alias("bitsig_xor"),
+    )
+
+
+def _mhap_signatures_oracle_sql(n: int = 600) -> str:
+    """DuckDB oracle for mhap_signatures: the numpy oracle (oracle.py — the
+    sequential reimplementation of mhap/sketch/MinHashSketch.java pinned by
+    tests/test_engine_parity) runs over the same seed-42 corpus and its
+    digests are emitted as a VALUES literal.  The 512-step-per-slot xorshift
+    stream is not expressible as tractable pure SQL (a recursive CTE needs
+    ~16k sequential iterations; the GF(2) closed form needs 64 masks per
+    slot), so DuckDB serves as the comparator over independently-computed
+    values rather than the computer — the engine⇄oracle independence is the
+    same."""
+    from mhap_spark import oracle
+    from mhap_spark.minhash import band_hashes, pack_bitsig
+    from mhap_spark.synth import generate_corpus
+
+    cfg = MhapConfig(num_hashes=128)
+    corpus = generate_corpus(n, seed=42)
+    shingle_sets = [
+        oracle.row_shingles(c, int(p), cfg)
+        for c, p in zip(corpus["caption"], corpus["phash"])
+    ]
+    freq = oracle.FreqFilter(oracle.df_ratio_table(shingle_sets), cfg)
+    import numpy as np
+
+    def xor64(vals) -> int:
+        acc = 0
+        for v in vals:
+            acc ^= int(np.int64(np.uint64(v) & np.uint64(0xFFFFFFFFFFFFFFFF)))
+        # fold to signed 64-bit
+        acc &= 0xFFFFFFFFFFFFFFFF
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+    rows = []
+    for img, sh in zip(corpus["image_id"], shingle_sets):
+        sig = oracle.weighted_minhash(sh, cfg, freq)
+        # banding/packing are deterministic per-row transforms of the
+        # (independently computed) oracle sig; reusing the numpy helpers
+        # here checks Spark executed them correctly on every row
+        bands = band_hashes(
+            np.asarray(sig, dtype=np.int32).reshape(1, -1),
+            cfg.rows_per_band,
+            cfg.num_bands,
+        )[0]
+        bottomk = oracle.bottom_k(sh, cfg.ordered_sketch_size)
+        bitsig = pack_bitsig(np.asarray(sig, dtype=np.int32).reshape(1, -1))[0]
+        rows.append(
+            (
+                img,
+                len(sh),
+                len(sig),
+                xor64(np.asarray(sig, dtype=np.int64).tolist()),
+                xor64(bottomk.tolist()),
+                xor64(bands.tolist()),
+                xor64(bitsig.tolist()),
+            )
+        )
+    values = ",\n".join(
+        f"('{r[0]}', {r[1]}, {r[2]}, {r[3]}, {r[4]}, {r[5]}, {r[6]})" for r in rows
+    )
+    return (
+        "SELECT image_id, n_shingles, sig_len, sig_xor, bottomk_xor, "
+        "bands_xor, bitsig_xor FROM (VALUES\n"
+        + values
+        + "\n) AS t(image_id, n_shingles, sig_len, sig_xor, bottomk_xor, "
+        "bands_xor, bitsig_xor)"
+    )
 
 
 def _q_mhap_cluster_sizes(spark, sf_dir):
@@ -957,4 +1037,5 @@ def oracle_sql() -> dict[str, str]:
                                                  min_shared=1),
         "doc_fingerprint": _fingerprint_oracle_sql(k=8),
         "bloom_gram_words": _bloom_oracle_sql(k=8),
+        "mhap_signatures": _mhap_signatures_oracle_sql(),
     }

@@ -165,7 +165,17 @@ def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     from mhap_spark.verify import verified_pairs
 
     cfg = PRESET_SCALE
-    spark = build_session(f"bench_stages_{cores}", master=f"local[{cores}]")
+    # shuffle_partitions = cores, same as run_pipeline_bench: the stage bench
+    # previously inherited the session default of 4×cores, so the 32-core leg
+    # ran 128 shuffle partitions against the 8-core leg's 32 — on this
+    # single-disk host the extra shuffle files dominate the candidates stage
+    # (BENCH/BASELINE.md: 32 partitions beat 128 by ~1.9× at 32 cores) and
+    # manufactured the r3 "candidates anti-scaling" artifact (VERDICT task 2)
+    spark = build_session(
+        f"bench_stages_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
     # JIT warmup (see run_pipeline_bench)
     wdf = spark.createDataFrame(
         corpus_to_rows(generate_corpus(10_000, seed=1, with_images=False)),
