@@ -571,7 +571,8 @@ def _q_image_stats(spark, sf_dir):
 def _q_multimodal_transforms(spark, sf_dir):
     """Resize + frame-sample + audio-PCM plumbing over the synthetic image
     corpus, summarized to one row (brief: multimodal ops with real Spark
-    plumbing; frame decode is a documented deterministic stub)."""
+    plumbing; frame_sample demuxes real RIFF-AVI containers since round 4 —
+    stills here count as 1-frame videos)."""
     from mhap_spark.ops.multimodal import audio_pcm_stats, frame_sample, resize_images
 
     df = _synth_df(spark, 200)

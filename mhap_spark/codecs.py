@@ -96,6 +96,87 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"codec {fmt!r} not available (see encode_image)")
 
 
+# --- AVI container (real RIFF demux; round-4 VERDICT task 9) -----------------
+#
+# The frame-sampling operator previously stubbed its decoder (no video codec
+# ships here).  The CONTAINER layer needs no codec: these are a real,
+# spec-shaped RIFF-AVI muxer/demuxer — 'RIFF..AVI ' → LIST hdrl (avih, LIST
+# strl(strh/strf)) → LIST movi ('00dc' chunks, word-aligned) → idx1.  Frame
+# payloads use this repo's codecs (fourcc QPNG/PNG ); true MJPG payloads
+# still need libjpeg and surface as unsupported-codec DATA rows, same policy
+# as decode_image.
+
+_FOURCC_TO_FMT = {b"QPNG": "qpng", b"PNG ": "png"}
+
+
+def avi_encode(frames: list, fourcc: bytes = b"QPNG", fps: int = 10) -> bytes:
+    """frames: list of (h, w, 3) uint8 arrays → AVI bytes ('00dc' per frame)."""
+    assert frames, "empty video"
+    h, w, _ = frames[0].shape
+    fmt = _FOURCC_TO_FMT[fourcc]
+    payloads = [encode_image(f, fmt) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + fourcc + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0)[:40]
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHI5I", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the start of the movi LIST's data
+    idx, off = b"", 4
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_parse(data: bytes) -> tuple[str, int, int, list[bytes]]:
+    """Demux an AVI: returns (codec_fmt, w, h, frame_payloads).
+
+    Walks the real RIFF structure (not offsets we wrote): top-level chunks,
+    hdrl's strh for the stream fourcc, movi's 00dc/00db entries in order.
+    codec_fmt is the decode_image fmt string, or the raw fourcc lowercased
+    when unsupported (decode then raises NotImplementedError — policy as
+    decode_image)."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
+    fourcc, w, h = None, 0, 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fourcc, w, h
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif tag == b"strh" and data[body_start : body_start + 4] == b"vids":
+                fourcc = data[body_start + 4 : body_start + 8]
+            elif tag == b"avih":
+                w, h = struct.unpack("<II", data[body_start + 32 : body_start + 40])
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(data[body_start : body_start + length])
+            pos = body_start + length + (length % 2)
+
+    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
+    assert fourcc is not None, "no video stream header"
+    fmt = _FOURCC_TO_FMT.get(fourcc, fourcc.decode("latin1").strip().lower())
+    return fmt, w, h, frames
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 
 from pyspark.sql.types import BinaryType
 
-from mhap_spark.codecs import decode_image, encode_image, phash64
+from mhap_spark.codecs import avi_parse, decode_image, encode_image, phash64
 
 IMAGE_STATS_SCHEMA = StructType(
     [
@@ -160,38 +160,63 @@ FRAME_SCHEMA = StructType(
         StructField("frame_bytes", BinaryType()),
         StructField("frame_w", IntegerType()),
         StructField("frame_h", IntegerType()),
+        StructField("decode_ok", BooleanType()),
     ]
 )
 
 
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling PLUMBING (task brief): one input row fans out to
-    ``n_frames`` frame rows through a mapInPandas batch — the real
-    engineering content (1→N Arrow batch shape, binary frame payloads,
-    typed frame metadata).  No video codec ships in this container, so the
-    frame decoder is a DETERMINISTIC STUB: frame f is the decoded still
-    rolled by f rows and re-encoded (stable, content-derived, testable);
-    production replaces `_stub_decode_frame` with a real demuxer behind the
-    same signature."""
-
-    def _stub_decode_frame(px: np.ndarray, f: int) -> np.ndarray:
-        return np.roll(px, shift=f, axis=0)
+    """Video frame sampling — REAL demuxer (round-4; the round-1/3 roll-stub
+    is gone): rows with fmt='avi' are parsed as RIFF-AVI containers
+    (codecs.avi_parse walks the actual chunk structure), ``n_frames``
+    frames are sampled evenly across the stream (all of them when the
+    stream is shorter), and each payload is decoded+re-encoded through the
+    stream's fourcc codec.  Still-image rows are single-frame videos
+    (frame 0 = the image).  Rows whose container is corrupt or whose
+    fourcc needs a codec this environment lacks (true MJPG → libjpeg)
+    surface as decode_ok=false DATA rows rather than vanishing — the same
+    corrupt-rows-as-data policy as image_stats.  One input row fans out to
+    ≤ n_frames rows inside a mapInPandas batch; no per-row Python at the
+    Spark layer."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, blobs, ws, hs = [], [], [], [], []
+            ids, idxs, blobs, ws, hs, oks = [], [], [], [], [], []
+
+            def emit(img_id, f, blob, w, h, ok):
+                ids.append(img_id)
+                idxs.append(f)
+                blobs.append(blob)
+                ws.append(w)
+                hs.append(h)
+                oks.append(ok)
+
             for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    px = decode_image(bytes(blob), fmt)
+                    if fmt == "avi":
+                        codec, _, _, payloads = avi_parse(bytes(blob))
+                        total = len(payloads)
+                        take = (
+                            np.round(
+                                np.linspace(0, total - 1, min(n_frames, total))
+                            ).astype(int)
+                            if total
+                            else np.array([], dtype=int)
+                        )
+                        for f in take:
+                            px = decode_image(payloads[f], codec)
+                            emit(
+                                img_id, int(f), encode_image(px, codec),
+                                px.shape[1], px.shape[0], True,
+                            )
+                    else:
+                        px = decode_image(bytes(blob), fmt)
+                        emit(
+                            img_id, 0, encode_image(px, fmt),
+                            px.shape[1], px.shape[0], True,
+                        )
                 except Exception:
-                    continue  # undecodable rows contribute no frames
-                for f in range(n_frames):
-                    fr = _stub_decode_frame(px, f)
-                    ids.append(img_id)
-                    idxs.append(f)
-                    blobs.append(encode_image(fr, fmt))
-                    hs.append(fr.shape[0])
-                    ws.append(fr.shape[1])
+                    emit(img_id, -1, None, 0, 0, False)
             yield pd.DataFrame(
                 {
                     "image_id": ids,
@@ -199,6 +224,7 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     "frame_bytes": blobs,
                     "frame_w": pd.array(ws, dtype="int32"),
                     "frame_h": pd.array(hs, dtype="int32"),
+                    "decode_ok": pd.array(oks, dtype="boolean"),
                 }
             )
 

@@ -1,5 +1,6 @@
 """Multimodal transforms beyond image_stats: resize (real), frame-sample
-(1→N plumbing, stub decoder), audio-PCM features (task brief family)."""
+(real RIFF-AVI demux since round 4), audio-PCM features (task brief
+family)."""
 
 import numpy as np
 import pytest
@@ -41,17 +42,70 @@ def test_resize_images_roundtrip(spark, img_df):
         assert px.shape[0] == 16 and px.shape[1] == 16
 
 
-def test_frame_sample_fanout(spark, img_df):
+def test_frame_sample_stills_are_single_frame(spark, img_df):
+    """Still images are 1-frame videos: frame 0 = the image, decode_ok."""
     frames = frame_sample(img_df, n_frames=3).collect()
-    assert len(frames) == 12 * 3
-    by_img = {}
+    assert len(frames) == 12
     for r in frames:
-        by_img.setdefault(r["image_id"], []).append(r["frame_idx"])
-    for idxs in by_img.values():
-        assert sorted(idxs) == [0, 1, 2]
-    # frame 0 is the original still (stub decoder rolls by frame_idx)
-    f0 = next(r for r in frames if r["frame_idx"] == 0)
-    assert f0["frame_w"] > 0 and f0["frame_h"] > 0
+        assert r["frame_idx"] == 0 and r["decode_ok"]
+        assert r["frame_w"] > 0 and r["frame_h"] > 0
+
+
+def test_frame_sample_real_avi_demux(spark):
+    """REAL videos: mux 7 distinguishable frames into a RIFF-AVI, demux
+    through the Spark operator, check the 3 sampled frames are the evenly
+    spaced ones (0, 3, 6) and decode back to the original pixels; a corrupt
+    container and an unsupported-codec (MJPG) stream surface as
+    decode_ok=false data rows."""
+    from mhap_spark.codecs import avi_encode
+
+    frames_px = [
+        np.full((16, 16, 3), 10 * (f + 1), dtype=np.uint8) for f in range(7)
+    ]
+    good = avi_encode(frames_px, fourcc=b"PNG ")
+    mjpg = good.replace(b"vidsPNG ", b"vidsMJPG", 1)
+    rows = [
+        ("vid_good", bytearray(good), 16, 16, "avi", "", 0),
+        ("vid_corrupt", bytearray(b"RIFFgarbage"), 16, 16, "avi", "", 0),
+        ("vid_mjpg", bytearray(mjpg), 16, 16, "avi", "", 0),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    out = {r["image_id"]: r for r in []}
+    got = frame_sample(df, n_frames=3).collect()
+    by_img = {}
+    for r in got:
+        by_img.setdefault(r["image_id"], []).append(r)
+
+    goods = sorted(by_img["vid_good"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in goods] == [0, 3, 6]
+    for r in goods:
+        px = decode_image(bytes(r["frame_bytes"]), "png")
+        assert (px == frames_px[r["frame_idx"]]).all()
+        assert r["decode_ok"] and r["frame_w"] == 16 and r["frame_h"] == 16
+
+    for bad in ("vid_corrupt", "vid_mjpg"):
+        (r,) = by_img[bad]
+        assert not r["decode_ok"] and r["frame_idx"] == -1
+        assert r["frame_bytes"] is None
+
+
+def test_avi_container_roundtrip():
+    """Muxer/demuxer round-trip without Spark: lossless PNG payloads come
+    back bit-identical; lossy QPNG payloads hold the ≥40 dB invariant."""
+    from mhap_spark.codecs import avi_encode, avi_parse
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (24, 32, 3)).astype(np.uint8) for _ in range(5)]
+    fmt, w, h, payloads = avi_parse(avi_encode(frames, fourcc=b"PNG "))
+    assert (fmt, w, h, len(payloads)) == ("png", 32, 24, 5)
+    assert all(
+        (decode_image(p, fmt) == f).all() for f, p in zip(frames, payloads)
+    )
+    fmt_q, _, _, payloads_q = avi_parse(avi_encode(frames, fourcc=b"QPNG"))
+    assert fmt_q == "qpng"
+    assert all(
+        psnr(decode_image(p, fmt_q), f) >= 40 for f, p in zip(frames, payloads_q)
+    )
 
 
 def test_audio_pcm_stats(spark):

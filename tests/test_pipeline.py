@@ -83,7 +83,12 @@ def test_resume_from_checkpoint_iceberg(spark, corpus, input_df, tmp_path):
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
     except Exception:
-        pytest.skip("iceberg-spark runtime jar not on classpath in this sandbox")
+        pytest.skip(
+            "iceberg-spark runtime jar not on classpath; acquisition attempted "
+            "round-4 and impossible here: no jar anywhere on disk (find / "
+            "-name '*iceberg*'), no ivy/maven cache, and the sandbox has no "
+            "network (DNS fails for both the pip index and repo1.maven.org)"
+        )
     for k, v in {
         "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
         "spark.sql.catalog.local.type": "hadoop",
