@@ -196,33 +196,229 @@ def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     )
     df.count()
 
+    # Pass 1 (cold) materializes each stage's persisted output for the next
+    # stage; pass 2 re-times each stage WARM against the same inputs.  The
+    # warm number is the one reported: round-4 root-cause
+    # (tools/candidates_gc_probe.py) showed a ~22 s scale-INVARIANT
+    # first-execution overhead (plan codegen/JIT/shuffle-file setup;
+    # gc_frac < 1%, zero spill at both core counts) that a one-shot
+    # measurement folds into the stage time — at 32 cores it halved the
+    # apparent speedup and manufactured r3's "candidates anti-scaling"
+    # (warm candidates: 35.4→13.2 s, 2.67×/0.67 eff; cold: 1.67× at best).
     stages: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
     t = time.time()
     freq = FreqTable.compute(df, cfg)
-    stages["df_table"] = round(time.time() - t, 2)
-
+    cold["df_table"] = round(time.time() - t, 2)
     t = time.time()
     sigs = compute_signatures(df, cfg, freq).persist()
     sigs.count()
-    stages["sketch"] = round(time.time() - t, 2)
-
+    cold["sketch"] = round(time.time() - t, 2)
     t = time.time()
     cands = candidate_pairs(sigs, cfg).persist()
     cands.count()
-    stages["candidates"] = round(time.time() - t, 2)
-
+    cold["candidates"] = round(time.time() - t, 2)
     t = time.time()
     pairs = verified_pairs(cands, sigs, cfg).persist()
     pairs.count()
-    stages["verify"] = round(time.time() - t, 2)
+    cold["verify"] = round(time.time() - t, 2)
+    t = time.time()
+    clusters = connected_components(pairs, sigs.select("image_id")).persist()
+    clusters.count()
+    cold["cc"] = round(time.time() - t, 2)
 
     t = time.time()
-    clusters = connected_components(pairs, sigs.select("image_id"))
-    clusters.count()
+    FreqTable.compute(df, cfg)
+    stages["df_table"] = round(time.time() - t, 2)
+    t = time.time()
+    compute_signatures(df, cfg, freq).count()
+    stages["sketch"] = round(time.time() - t, 2)
+    t = time.time()
+    candidate_pairs(sigs, cfg).count()
+    stages["candidates"] = round(time.time() - t, 2)
+    t = time.time()
+    verified_pairs(cands, sigs, cfg).count()
+    stages["verify"] = round(time.time() - t, 2)
+    t = time.time()
+    connected_components(pairs, sigs.select("image_id")).count()
     stages["cc"] = round(time.time() - t, 2)
+    clusters.unpersist()
 
     spark.stop()
-    return {"cores": cores, "rows": rows, "stages": stages}
+    return {"cores": cores, "rows": rows, "stages": stages, "cold_stages": cold}
+
+
+def run_store_filter_bench(
+    cores: int,
+    rows: int = 100_000,
+    short_frac: float = 0.3,
+    threshold: int = 60,
+    reps: int = 2,
+) -> dict:
+    """min_store_shingles trade (VERDICT r3 task 6): pairs-mode pipeline on a
+    short-row-heavy corpus (``short_frac`` of captions truncated to 8 chars —
+    those rows keep only their ~49 phash shingles), symmetric index vs
+    store-filtered index at ``threshold``.  Reports index band rows (the
+    index size the filter exists to cut), wall-clock (min-of-N, interleaved),
+    verified pairs, and planted recall per leg."""
+    from mhap_spark.config import MhapConfig
+    from mhap_spark.hashing import string_id_hash63
+    from mhap_spark.pipeline import run_pipeline
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+    import numpy as np
+
+    corpus = generate_corpus(rows, seed=42, with_images=False)
+    # deterministic 30%: truncate captions by id-hash (phash signal survives)
+    short = (string_id_hash63(corpus["image_id"]) % np.uint64(100)) < np.uint64(
+        int(short_frac * 100)
+    )
+    corpus["caption"] = [
+        c[:8] if s else c for c, s in zip(corpus["caption"], short)
+    ]
+    base = MhapConfig(candidate_mode="pairs", num_bands=128, freq_sample_mod=4)
+    spark = build_session(
+        f"bench_store_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    df = (
+        spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL)
+        .repartition(max(cores * 2, 8))
+        .persist()
+    )
+    df.count()
+
+    legs = {
+        "symmetric": base,
+        "store_filtered": base.with_overrides(min_store_shingles=threshold),
+    }
+    out: dict = {
+        "rows": rows,
+        "cores": cores,
+        "short_frac": short_frac,
+        "threshold": threshold,
+    }
+    times: dict[str, list[float]] = {k: [] for k in legs}
+    for rep in range(reps):
+        for name, cfg in legs.items():
+            t0 = time.time()
+            res = run_pipeline(spark, df, cfg)
+            clusters = res["clusters"].persist()
+            clusters.count()
+            times[name].append(round(time.time() - t0, 2))
+            if rep == reps - 1:
+                from mhap_spark.candidates import exploded_bands
+                from pyspark.sql import functions as F
+
+                sigs = res["signatures"]
+                stored = (
+                    sigs.where(F.col("n_shingles") >= cfg.min_store_shingles)
+                    if cfg.min_store_shingles > 0
+                    else sigs
+                )
+                assign = {
+                    r["image_id"]: r["cluster_id"] for r in clusters.collect()
+                }
+                out[name] = {
+                    "index_rows": stored.count(),
+                    "index_band_rows": exploded_bands(stored).count(),
+                    "n_verified_pairs": res["pairs"].count(),
+                    "dup_pair_recall": round(
+                        _pair_recall(
+                            assign, corpus["true_cluster"], corpus["image_id"]
+                        ),
+                        5,
+                    ),
+                }
+            res["signatures"].unpersist()
+            res["pairs"].unpersist()
+            clusters.unpersist()
+    for name in legs:
+        out[name]["elapsed_s"] = min(times[name])
+        out[name]["rep_elapsed_s"] = times[name]
+    out["index_cut"] = round(
+        1 - out["store_filtered"]["index_band_rows"] / out["symmetric"]["index_band_rows"], 4
+    )
+    out["speedup"] = round(
+        out["symmetric"]["elapsed_s"] / out["store_filtered"]["elapsed_s"], 3
+    )
+    spark.stop()
+    return out
+
+
+def run_streaming_bench(
+    cores: int, base_rows: int = 300_000, n_batches: int = 5, batch_rows: int = 2_000
+) -> dict:
+    """Incremental-ingest (-q production mode) per-batch cost: seed a
+    ``base_rows`` signature index (batch 0), then run ``n_batches``
+    micro-batches of ``batch_rows`` new rows through the exact foreachBatch
+    function (IncrementalDedup.process_batch: sketch → intra-batch stage 1 →
+    probe vs accumulated index → one verify → idempotent writes).  Reports
+    per-batch seconds and rows/s against the accumulated index."""
+    import shutil
+    import tempfile
+
+    from mhap_spark.config import PRESET_SCALE
+    from mhap_spark.freq import FreqTable
+    from mhap_spark.session import build_session
+    from mhap_spark.streaming import IncrementalDedup
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+    # probe path needs pairs-mode vote semantics; keep the scale preset's
+    # band subsampling + sampled df table
+    cfg = PRESET_SCALE.with_overrides(candidate_mode="pairs")
+    spark = build_session(
+        f"bench_stream_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    base_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    corpus = generate_corpus(
+        base_rows + n_batches * batch_rows, seed=42, with_images=False
+    )
+    rows_all = corpus_to_rows(corpus)
+
+    base_df = (
+        spark.createDataFrame(rows_all[:base_rows], INPUT_SCHEMA_DDL)
+        .repartition(max(cores * 2, 8))
+        .persist()
+    )
+    base_df.count()
+    freq = FreqTable.compute(base_df, cfg)  # frozen corpus stats (prod pattern)
+    sink = IncrementalDedup(base_dir, cfg, freq)
+
+    t0 = time.time()
+    sink.process_batch(base_df, 0)
+    seed_s = round(time.time() - t0, 2)
+
+    batch_s, match_counts = [], []
+    for k in range(1, n_batches + 1):
+        lo = base_rows + (k - 1) * batch_rows
+        bdf = spark.createDataFrame(
+            rows_all[lo : lo + batch_rows], INPUT_SCHEMA_DDL
+        ).repartition(max(cores, 8))
+        t0 = time.time()
+        sink.process_batch(bdf, k)
+        batch_s.append(round(time.time() - t0, 2))
+        match_counts.append(
+            spark.read.parquet(f"{sink.match_path}/batch_id={k}").count()
+        )
+    out = {
+        "cores": cores,
+        "base_rows": base_rows,
+        "batch_rows": batch_rows,
+        "seed_s": seed_s,
+        "batch_s": batch_s,
+        "batch_s_min": min(batch_s),
+        "batch_rows_per_sec": round(batch_rows / min(batch_s), 1),
+        "matches_per_batch": match_counts,
+    }
+    spark.stop()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out
 
 
 def run_query_bench(sf_dir: str, cores: int) -> dict:
@@ -329,6 +525,8 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--stages-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--store-filter", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stage-scaling", action="store_true")
     ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
     ap.add_argument("--mega", type=int, default=0,
@@ -349,6 +547,14 @@ def main() -> None:
 
     if args.scaling:
         print(json.dumps(scaling_bench(args.rows), indent=1))
+        return
+
+    if args.store_filter:
+        print(json.dumps(run_store_filter_bench(args.cores, args.rows)))
+        return
+
+    if args.streaming:
+        print(json.dumps(run_streaming_bench(args.cores)))
         return
 
     if args.stage_scaling:
