@@ -196,54 +196,50 @@ def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     )
     df.count()
 
-    # Pass 1 (cold) materializes each stage's persisted output for the next
-    # stage; pass 2 re-times each stage WARM against the same inputs.  The
-    # warm number is the one reported: round-4 root-cause
-    # (tools/candidates_gc_probe.py) showed a ~22 s scale-INVARIANT
-    # first-execution overhead (plan codegen/JIT/shuffle-file setup;
-    # gc_frac < 1%, zero spill at both core counts) that a one-shot
+    # Per stage: COLD execution (timed), WARM execution (timed — a fresh
+    # DataFrame with the same plan; nothing is persisted yet, so Spark's
+    # CacheManager cannot serve it from cache), then persist+count to feed
+    # the next stage (harness cost, untimed).  The WARM number is reported:
+    # round-4 root-cause (tools/candidates_gc_probe.py) found a ~22 s
+    # scale-INVARIANT first-execution overhead (plan codegen/JIT/shuffle
+    # setup; gc_frac < 1%, zero spill at both core counts) that a one-shot
     # measurement folds into the stage time — at 32 cores it halved the
     # apparent speedup and manufactured r3's "candidates anti-scaling"
     # (warm candidates: 35.4→13.2 s, 2.67×/0.67 eff; cold: 1.67× at best).
+    # NB a naive "re-count after persist" warm pass reads the cache instead
+    # of recomputing (CacheManager matches identical analyzed plans), which
+    # is why the persist happens strictly AFTER both timed runs.
     stages: dict[str, float] = {}
     cold: dict[str, float] = {}
+
+    def timed(name: str, make) -> None:
+        t = time.time()
+        make().count()
+        cold[name] = round(time.time() - t, 2)
+        t = time.time()
+        make().count()
+        stages[name] = round(time.time() - t, 2)
 
     t = time.time()
     freq = FreqTable.compute(df, cfg)
     cold["df_table"] = round(time.time() - t, 2)
     t = time.time()
-    sigs = compute_signatures(df, cfg, freq).persist()
-    sigs.count()
-    cold["sketch"] = round(time.time() - t, 2)
-    t = time.time()
-    cands = candidate_pairs(sigs, cfg).persist()
-    cands.count()
-    cold["candidates"] = round(time.time() - t, 2)
-    t = time.time()
-    pairs = verified_pairs(cands, sigs, cfg).persist()
-    pairs.count()
-    cold["verify"] = round(time.time() - t, 2)
-    t = time.time()
-    clusters = connected_components(pairs, sigs.select("image_id")).persist()
-    clusters.count()
-    cold["cc"] = round(time.time() - t, 2)
-
-    t = time.time()
     FreqTable.compute(df, cfg)
     stages["df_table"] = round(time.time() - t, 2)
-    t = time.time()
-    compute_signatures(df, cfg, freq).count()
-    stages["sketch"] = round(time.time() - t, 2)
-    t = time.time()
-    candidate_pairs(sigs, cfg).count()
-    stages["candidates"] = round(time.time() - t, 2)
-    t = time.time()
-    verified_pairs(cands, sigs, cfg).count()
-    stages["verify"] = round(time.time() - t, 2)
-    t = time.time()
-    connected_components(pairs, sigs.select("image_id")).count()
-    stages["cc"] = round(time.time() - t, 2)
-    clusters.unpersist()
+
+    timed("sketch", lambda: compute_signatures(df, cfg, freq))
+    sigs = compute_signatures(df, cfg, freq).persist()
+    sigs.count()
+
+    timed("candidates", lambda: candidate_pairs(sigs, cfg))
+    cands = candidate_pairs(sigs, cfg).persist()
+    cands.count()
+
+    timed("verify", lambda: verified_pairs(cands, sigs, cfg))
+    pairs = verified_pairs(cands, sigs, cfg).persist()
+    pairs.count()
+
+    timed("cc", lambda: connected_components(pairs, sigs.select("image_id")))
 
     spark.stop()
     return {"cores": cores, "rows": rows, "stages": stages, "cold_stages": cold}
