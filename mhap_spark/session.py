@@ -31,6 +31,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # local-mode artifact: executors ARE the driver process, so work that
+        # a cluster keeps executor-side (e.g. localCheckpoint block
+        # materialization in the CC loop) counts against driver.maxResultSize;
+        # the 1 GiB default guardrail aborted the 3M-row bench (27 tasks,
+        # 1029.5 MiB).  8 GiB is still a guardrail against true collect()
+        # bugs while letting single-process runs breathe.
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.memory.fraction", "0.7")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
