@@ -546,9 +546,12 @@ def _mhap_signatures_oracle_sql(n: int = 600) -> str:
 
 
 def _q_mhap_cluster_sizes(spark, sf_dir):
-    """Rows-only: full pipeline on the seeded synthetic corpus; cluster
-    assignments are pinned by planted-truth recall and byte-identical
-    cross-core-count outputs (BENCH/BASELINE.md), not by SQL."""
+    """Full pipeline on the seeded synthetic corpus → (cluster_id, size).
+    Hash-checked (round-4): the oracle side is a VALUES literal computed by
+    the independent numpy pipeline (oracle.run_pipeline — its own shingles,
+    weights, sketches, inverted index, verify gates, and union-find) over
+    the identical corpus, so the driver gate compares the engine's
+    END-TO-END output value-for-value."""
     from mhap_spark.pipeline import run_pipeline
 
     out = run_pipeline(spark, _synth_df(spark), MhapConfig(num_hashes=128))
@@ -556,6 +559,30 @@ def _q_mhap_cluster_sizes(spark, sf_dir):
         out["clusters"]
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
+def _mhap_cluster_sizes_oracle_sql(n: int = 600) -> str:
+    """DuckDB oracle for mhap_cluster_sizes: the numpy oracle pipeline
+    (sequential, Spark-free — tests/test_engine_parity pins its semantics
+    against the reference formulas) runs end-to-end over the same seed-42
+    corpus; its cluster sizes are emitted as a VALUES literal.  See
+    _mhap_signatures_oracle_sql for why DuckDB is the comparator rather
+    than the computer here."""
+    from collections import Counter
+
+    from mhap_spark import oracle
+    from mhap_spark.synth import generate_corpus
+
+    cfg = MhapConfig(num_hashes=128)
+    corpus = generate_corpus(n, seed=42)
+    _, clusters = oracle.run_pipeline(corpus, cfg)
+    sizes = Counter(clusters.values())
+    values = ",\n".join(f"('{cid}', {sz})" for cid, sz in sorted(sizes.items()))
+    return (
+        "SELECT cluster_id, cluster_size FROM (VALUES\n"
+        + values
+        + "\n) AS t(cluster_id, cluster_size)"
     )
 
 
@@ -1039,4 +1066,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_oracle_sql(k=8),
         "bloom_gram_words": _bloom_oracle_sql(k=8),
         "mhap_signatures": _mhap_signatures_oracle_sql(),
+        "mhap_cluster_sizes": _mhap_cluster_sizes_oracle_sql(),
     }
