@@ -5,8 +5,11 @@
 driver's parquet tables; every SQL-expressible one has a DuckDB oracle in
 ``oracle_sql`` with identical column names/values (floats are either exact —
 integer-cent sums — or rounded to 6dp on both sides).
-Hash/sketch-dependent operators (MinHash, SimHash, LSH, fingerprints) and the
-synthetic image pipeline are rows-only checks by design.
+Hash/sketch-dependent operators are hash-checked through sequential numpy
+replicas emitted as VALUES literals (mhap_spark/oracle_ops.py — DuckDB is
+the comparator over independently-computed values, not the computer); since
+round 4 the only rows-only query left is approx_distinct (Spark's HLL++ has
+no independent sequential definition to replicate).
 """
 
 from __future__ import annotations
@@ -304,8 +307,11 @@ def _q_pair_identity_scores(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _q_approx_distinct(spark, sf_dir):
-    """HLL/count-min approximate aggregates (mhap/sketch/CountMin.java analog;
-    estimator values are engine-specific → rows-only)."""
+    """HLL approximate aggregates (mhap/sketch/CountMin.java analog).  The
+    ONLY remaining rows-only query (round 4): Spark's HyperLogLog++ register
+    layout is a JVM implementation detail with no independent sequential
+    definition to replicate, so an external oracle cannot predict the
+    estimate; the relative-error bound is pytest-pinned instead."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -315,9 +321,11 @@ def _q_approx_distinct(spark, sf_dir):
 
 def _q_cms_word_freq(spark, sf_dir):
     """Count-min sketch heavy hitters (mhap/sketch/CountMin.java:42-111):
-    CMS estimate next to exact count for the top-20 words.  Estimates are
-    hash-family-dependent → rows-only; the CMS guarantee (est ≥ exact,
-    overestimate ≤ e/width·N whp) is pinned by tests/test_sketches.py."""
+    CMS estimate next to exact count for the top-20 words.  The CMS
+    guarantee (est ≥ exact, overestimate ≤ e/width·N whp) is pinned by
+    tests/test_sketches.py; oracle-hash-checked since round 4 via a
+    sequential sketch replica over Spark-compatible xxhash64 word keys
+    (_cms_oracle_sql)."""
     import numpy as np
 
     from mhap_spark.ops.sketches import CountMin
@@ -343,18 +351,21 @@ def _q_cms_word_freq(spark, sf_dir):
 
 
 def _q_minhash_doc_pairs(spark, sf_dir):
-    """Rows-only: a SQL replica would need the full 128-hash weighted-MinHash
-    chain (XORShift per-slot streams + tf-idf weighting) per shingle — the
-    engine↔oracle bit-exact signature parity lives in tests/test_engine_parity
-    instead."""
+    """MinHash+LSH candidate pairs over the documents table.
+    Oracle-hash-checked since round 4: the sequential numpy replica
+    (oracle_ops.minhash_doc_candidates) recomputes the full
+    shingle → weighted-MinHash → band-bucket → vote chain independently
+    and the driver compares the pair sets (_minhash_doc_pairs_oracle_sql)."""
     from mhap_spark.ops.dedup import minhash_lsh_doc_pairs
 
     return minhash_lsh_doc_pairs(_t(spark, sf_dir, "documents"))
 
 
 def _q_simhash_near_dup(spark, sf_dir):
-    """Rows-only: simhash folds xxhash64 word hashes (JVM-internal family
-    DuckDB can't replicate); radius-recall guarantee is pytest-pinned."""
+    """SimHash near-dup pairs (GRAFT-HASH-1 k-gram bit votes) summarized as
+    a Hamming histogram.  Oracle-hash-checked since round 4 via a
+    brute-force sequential replica (_simhash_oracle_sql — blocking is
+    exactly-recall-1.0 by pigeonhole, so brute force IS the semantics)."""
     from mhap_spark.ops.dedup import simhash_near_dup_pairs
 
     # the driver corpus is vocabulary-homogeneous, so raw pair lists are huge;
@@ -586,10 +597,196 @@ def _mhap_cluster_sizes_oracle_sql(n: int = 600) -> str:
     )
 
 
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _oracle_docs(sf_dir: str = None) -> tuple[list[str], list[str]]:
+    """(doc_ids_as_strings, texts) of the documents table the driver's
+    oracle gate runs against (sf0.01 per the driver contract; override via
+    SPARK_GRAFT_ORACLE_SF_DIR when checking another scale locally)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(doc_id AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir or _ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    return [r[0] for r in rows], [r[1] for r in rows]
+
+
+def _oracle_embeddings(sf_dir: str = None):
+    """(vec_ids int64 array, vectors float64 matrix — the element-wise
+    array<float>→array<double> cast the engine applies)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir or _ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array(
+        [np.asarray(r[1], dtype=np.float32).astype(np.float64) for r in rows]
+    )
+    return ids, X
+
+
+def _sql_str(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[tuple], cols: list[str], types: str) -> str:
+    """VALUES-literal SELECT with explicit per-column formatting.
+
+    ``types``: one char per column — s=string, i=int, f=float (full repr —
+    DuckDB parses the shortest decimal form back to the identical double),
+    b=bool.  None renders as NULL."""
+
+    def fmt(v, t):
+        if v is None:
+            return "NULL"
+        if t == "s":
+            return _sql_str(v)
+        if t == "b":
+            return "TRUE" if v else "FALSE"
+        if t == "f":
+            # an explicit DOUBLE cast — a bare literal parses as DECIMAL,
+            # which would dodge the driver's float canonicalization
+            return f"CAST({repr(float(v))} AS DOUBLE)"
+        return str(int(v))
+
+    body = ",\n".join(
+        "(" + ", ".join(fmt(v, t) for v, t in zip(r, types)) + ")" for r in rows
+    )
+    names = ", ".join(cols)
+    return f"SELECT {names} FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _minhash_doc_pairs_oracle_sql() -> str:
+    """DuckDB oracle for minhash_doc_pairs: the sequential replica
+    (oracle_ops.minhash_doc_candidates — shingle → weighted MinHash →
+    band buckets → all-pairs votes, mhap/impl/MinHashSearch.java:85-204
+    semantics) runs over the same sf0.01 documents table; DuckDB compares
+    the independently-computed pair set (see _mhap_signatures_oracle_sql
+    for the VALUES-literal rationale)."""
+    from mhap_spark import oracle_ops
+
+    ids, texts = _oracle_docs()
+    cfg = MhapConfig(
+        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
+    )
+    rows = oracle_ops.minhash_doc_candidates(ids, texts, cfg)
+    return _values_sql(rows, ["src_doc", "dst_doc", "votes"], "ssi")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB oracle for simhash_near_dup: brute-force sequential SimHash +
+    Hamming histogram (oracle_ops.simhash_hamming_hist) — valid because the
+    multi-index blocking is exactly-recall-1.0 by pigeonhole and no chunk
+    bucket can exceed the cap at n=500."""
+    from mhap_spark import oracle_ops
+
+    _, texts = _oracle_docs()
+    rows = oracle_ops.simhash_hamming_hist(texts, k=8, max_hamming=2)
+    return _values_sql(rows, ["hamming", "n_pairs"], "ii")
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB oracle for cms_word_freq: sequential CountMin replica over
+    Spark-compatible xxhash64 word keys (oracle_ops.cms_word_rows;
+    xxhash64 parity pinned by tests/test_oracle_ops.py)."""
+    from mhap_spark import oracle_ops
+
+    _, texts = _oracle_docs()
+    words = []
+    for t in texts:
+        words.extend(" ".join((t or "").lower().split()).split(" "))
+    rows = oracle_ops.cms_word_rows(words, depth=4, width=4096, topn=20)
+    return _values_sql(rows, ["word", "exact_count", "cms_est"], "sii")
+
+
+def _roc_stats_oracle_sql(n: int = 600) -> str:
+    """DuckDB oracle for roc_stats_synth: the numpy oracle pipeline's
+    clusters (the same independent chain behind mhap_cluster_sizes) fed
+    through a sequential pair-confusion count
+    (oracle_ops.cluster_confusion_row ≡ ops/rocstats.pair_confusion with
+    the caps provably inactive at n=600)."""
+    from mhap_spark import oracle, oracle_ops
+    from mhap_spark.synth import generate_corpus
+
+    cfg = MhapConfig(num_hashes=128)
+    corpus = generate_corpus(n, seed=42)
+    _, clusters = oracle.run_pipeline(corpus, cfg)
+    truth = {
+        img: int(c) for img, c in zip(corpus["image_id"], corpus["true_cluster"])
+    }
+    row = oracle_ops.cluster_confusion_row(clusters, truth)
+    return _values_sql(
+        [row],
+        ["tp", "fp", "fn", "tn", "sensitivity", "specificity", "ppv",
+         "found_outside_universe"],
+        "iiiifffi",
+    )
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB oracle for lsh_ann_neighbors: sequential hyperplane-LSH
+    replica (oracle_ops.lsh_ann_rows) with the JVM's left-to-right cosine
+    fold and HALF_UP rounding."""
+    from mhap_spark import oracle_ops
+
+    ids, X = _oracle_embeddings()
+    rows = oracle_ops.lsh_ann_rows(ids, X, n_bits=12, n_tables=4, min_cos=0.35)
+    return _values_sql(rows, ["src", "dst", "cos_sim"], "iif")
+
+
+def _ivf_ann_oracle_sql() -> str:
+    """DuckDB oracle for ivf_ann_neighbors: sequential IVF replica
+    (oracle_ops.ivf_ann_rows — xxhash64-rank training sample, spherical
+    k-means, multi-probe cells, exact rescore)."""
+    from mhap_spark import oracle_ops
+
+    ids, X = _oracle_embeddings()
+    rows = oracle_ops.ivf_ann_rows(ids, X, n_centroids=16, n_probe=3, min_cos=0.35)
+    return _values_sql(rows, ["src", "dst", "cos_sim"], "iif")
+
+
+def _image_stats_oracle_sql(n: int = 600) -> str:
+    """DuckDB oracle for image_stats: sequential per-row decode over the
+    same seed-42 corpus (oracle_ops.image_stats_rows; the pure-numpy codecs
+    are the shared leaf primitive, pinned by their own unit tests — the
+    check is that Spark's Arrow-batched execution decodes every row to the
+    same pixels/stats)."""
+    from mhap_spark import oracle_ops
+    from mhap_spark.synth import generate_corpus
+
+    rows = oracle_ops.image_stats_rows(generate_corpus(n, seed=42))
+    return _values_sql(
+        rows,
+        ["image_id", "decode_ok", "decode_error", "dec_w", "dec_h",
+         "mean_luma", "phash_recomputed", "phash_matches"],
+        "sbsiifib",
+    )
+
+
+def _multimodal_oracle_sql(n: int = 200) -> str:
+    """DuckDB oracle for multimodal_transforms: sequential per-row
+    resize/frame/audio replica (oracle_ops.multimodal_summary_row) over the
+    same seed-42 corpus; the query's aggregates are integer counts and a
+    per-row-quantized rms sum, so no cross-partition float order exists."""
+    from mhap_spark import oracle_ops
+    from mhap_spark.synth import generate_corpus
+
+    row = oracle_ops.multimodal_summary_row(generate_corpus(n, seed=42))
+    return _values_sql(
+        [row], ["n_resized", "n_resize_ok", "n_frames", "rms_u_sum"], "iiii"
+    )
+
+
 def _q_image_stats(spark, sf_dir):
-    """Rows-only: decodes the synthetic corpus's binary image column with the
-    pure-numpy codecs (PSNR/phash per-row invariant); DuckDB has no pixel
-    decoder, so the invariant is pytest-pinned instead."""
+    """Decodes the synthetic corpus's binary image column with the
+    pure-numpy codecs and re-verifies the stored phash (the engine-side
+    half of the per-row invariant).  Oracle-hash-checked since round 4 via
+    a sequential-decode VALUES replica (_image_stats_oracle_sql)."""
     from mhap_spark.ops.multimodal import image_stats
 
     return image_stats(_synth_df(spark))
@@ -606,6 +803,9 @@ def _q_multimodal_transforms(spark, sf_dir):
     resized = resize_images(df, out_w=16, out_h=16)
     frames = frame_sample(df, n_frames=2)
     audio = audio_pcm_stats(df)  # image bytes as PCM16 — exercises the kernel
+    # rms is quantized PER ROW (deterministic Arrow-kernel output) before the
+    # integer sum, so the aggregate is independent of partitioning/order —
+    # a float avg would expose cross-partition summation order (round 4)
     return (
         resized.agg(
             F.count(F.lit(1)).alias("n_resized"),
@@ -613,7 +813,9 @@ def _q_multimodal_transforms(spark, sf_dir):
         )
         .crossJoin(frames.agg(F.count(F.lit(1)).alias("n_frames")))
         .crossJoin(
-            audio.agg(F.round(F.avg("rms"), 6).alias("avg_rms"))
+            audio.agg(
+                F.sum(F.round(F.col("rms") * 1e6).cast("long")).alias("rms_u_sum")
+            )
         )
     )
 
@@ -621,7 +823,9 @@ def _q_multimodal_transforms(spark, sf_dir):
 def _q_roc_stats_synth(spark, sf_dir):
     """EstimateROC analog on the synthetic corpus: cluster-induced pair
     confusion vs planted truth (sensitivity is the BASELINE.json recall
-    metric).  Rows-only: depends on the sketch pipeline."""
+    metric).  Oracle-hash-checked since round 4: the numpy oracle pipeline's
+    clusters feed a sequential confusion count (_roc_stats_oracle_sql), so
+    the whole sketch→cluster→eval chain is driver-checked end to end."""
     from mhap_spark.ops.rocstats import cluster_confusion
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.synth import generate_corpus
@@ -1067,4 +1271,16 @@ def oracle_sql() -> dict[str, str]:
         "bloom_gram_words": _bloom_oracle_sql(k=8),
         "mhap_signatures": _mhap_signatures_oracle_sql(),
         "mhap_cluster_sizes": _mhap_cluster_sizes_oracle_sql(),
+        # round-4 sequential-replica oracles (oracle_ops.py): every
+        # remaining operator except approx_distinct (Spark's HLL internals
+        # have no independent sequential definition to replicate) is now
+        # driver-hash-checked
+        "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql(),
+        "simhash_near_dup": _simhash_oracle_sql(),
+        "cms_word_freq": _cms_oracle_sql(),
+        "roc_stats_synth": _roc_stats_oracle_sql(),
+        "lsh_ann_neighbors": _lsh_ann_oracle_sql(),
+        "ivf_ann_neighbors": _ivf_ann_oracle_sql(),
+        "image_stats": _image_stats_oracle_sql(),
+        "multimodal_transforms": _multimodal_oracle_sql(),
     }

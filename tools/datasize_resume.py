@@ -1,0 +1,155 @@
+"""3M-row kill-and-resume evidence (round-3 VERDICT task 7, second half).
+
+The north rule requires "resumable from checkpoint with per-partition
+lineage + metrics".  `tests/test_pipeline.py::test_resume_from_checkpoint`
+pins the protocol at 2k rows; this tool exercises it on a multi-minute run:
+
+1. launch ``python -m mhap_spark.pipeline --rows N --preset 4
+   --checkpoint-dir D`` as a child process;
+2. poll ``D/manifest.json`` until checkpoint B (the ``pairs`` stage) is
+   committed, then SIGKILL the child mid-CC — a hard crash, no JVM
+   shutdown hooks;
+3. relaunch the identical command against the same dir and time it;
+4. verify from the manifest's per-stage ``run_id`` lineage that the
+   resumed run REUSED signatures + pairs (their run_ids still belong to
+   the killed run) and recomputed only clusters, and from the clusters
+   parquet that dup-pair recall vs the planted truth is 1.0 and the
+   cluster count matches the uninterrupted 3M bench leg.
+
+Emits one JSON line; the orchestrator itself never starts a JVM except
+for the final read-back verification session.
+
+Usage: python tools/datasize_resume.py [--rows 3000000] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _spawn(rows: int, cores: int, ckpt: str) -> subprocess.Popen:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    return subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "mhap_spark.pipeline",
+            "--rows",
+            str(rows),
+            "--preset",
+            "4",
+            "--checkpoint-dir",
+            ckpt,
+            "--master",
+            f"local[{cores}]",
+        ],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def _manifest(ckpt: str) -> dict:
+    p = os.path.join(ckpt, "manifest.json")
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):  # racing the atomic replace
+        return {}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=3_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--keep", action="store_true", help="keep the checkpoint dir")
+    args = ap.parse_args()
+
+    ckpt = tempfile.mkdtemp(prefix="mhap_resume_")
+    result: dict = {"rows": args.rows, "cores": args.cores}
+
+    # -- leg 1: run until checkpoint B commits, then SIGKILL ------------------
+    t0 = time.time()
+    child = _spawn(args.rows, args.cores, ckpt)
+    killed_at = None
+    stages_at_kill: list[str] = []
+    while child.poll() is None:
+        m = _manifest(ckpt)
+        if "pairs" in m:
+            stages_at_kill = sorted(m)
+            child.kill()  # SIGKILL: no shutdown hooks, the crash case
+            killed_at = time.time() - t0
+            break
+        time.sleep(1.0)
+    child.wait()
+    if killed_at is None:
+        print(json.dumps({"error": "child finished before pairs checkpoint",
+                          "stdout": child.stdout.read()[-2000:]}))
+        sys.exit(1)
+    run1_id = _manifest(ckpt)["pairs"]["run_id"]
+    result["leg1_killed_after_s"] = round(killed_at, 1)
+    result["leg1_stages_committed_at_kill"] = stages_at_kill
+
+    # -- leg 2: identical command, same dir — must resume ---------------------
+    t1 = time.time()
+    child2 = _spawn(args.rows, args.cores, ckpt)
+    out2, err2 = child2.communicate(timeout=3600)
+    leg2 = time.time() - t1
+    if child2.returncode != 0:
+        print(json.dumps({"error": "resume leg failed", "stderr": err2[-3000:]}))
+        sys.exit(1)
+    final = [l for l in out2.splitlines() if l.startswith("pairs=")]
+    result["leg2_resume_elapsed_s"] = round(leg2, 1)
+    result["leg2_stdout"] = final[-1] if final else ""
+
+    # -- lineage evidence: which stages were reused vs recomputed -------------
+    m = _manifest(ckpt)
+    result["stage_run_ids"] = {s: m[s]["run_id"] for s in sorted(m)}
+    result["reused_stages"] = sorted(
+        s for s in m if m[s]["run_id"] == run1_id
+    )
+    result["recomputed_stages"] = sorted(
+        s for s in m if m[s]["run_id"] != run1_id
+    )
+    result["pairs_partition_lineage_entries"] = len(m["pairs"]["partitions"] or {})
+
+    # -- read-back verification: recall vs planted truth ----------------------
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import generate_corpus
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    spark = build_session("resume_verify", master="local[8]")
+    clusters = spark.read.parquet(os.path.join(ckpt, "clusters"))
+    assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
+    corpus = generate_corpus(args.rows, seed=42, with_images=False)
+    result["n_rows_clustered"] = len(assign)
+    result["n_clusters"] = len(set(assign.values()))
+    result["n_verified_pairs"] = int(m["pairs"]["rows"])
+    result["dup_pair_recall"] = round(
+        bench._pair_recall(assign, corpus["true_cluster"], corpus["image_id"]), 5
+    )
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
