@@ -240,6 +240,14 @@ def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     pairs.count()
 
     timed("cc", lambda: connected_components(pairs, sigs.select("image_id")))
+    # the pipeline's configured CC path (driver union-find below the cutoff)
+    timed(
+        "cc_driver_finish",
+        lambda: connected_components(
+            pairs, sigs.select("image_id"),
+            driver_finish_edges=cfg.cc_driver_finish_edges,
+        ),
+    )
 
     spark.stop()
     return {"cores": cores, "rows": rows, "stages": stages, "cold_stages": cold}
@@ -372,8 +380,8 @@ def run_streaming_bench(
         shuffle_partitions=max(cores, 8),
     )
     base_dir = tempfile.mkdtemp(prefix="bench_stream_")
-    corpus = generate_corpus(
-        base_rows + n_batches * batch_rows, seed=42, with_images=False
+    corpus = generate_corpus(  # 2× n_batches: uncached leg then cached leg
+        base_rows + 2 * n_batches * batch_rows, seed=42, with_images=False
     )
     rows_all = corpus_to_rows(corpus)
 
@@ -390,18 +398,29 @@ def run_streaming_bench(
     sink.process_batch(base_df, 0)
     seed_s = round(time.time() - t0, 2)
 
-    batch_s, match_counts = [], []
-    for k in range(1, n_batches + 1):
-        lo = base_rows + (k - 1) * batch_rows
-        bdf = spark.createDataFrame(
-            rows_all[lo : lo + batch_rows], INPUT_SCHEMA_DDL
-        ).repartition(max(cores, 8))
-        t0 = time.time()
-        sink.process_batch(bdf, k)
-        batch_s.append(round(time.time() - t0, 2))
-        match_counts.append(
-            spark.read.parquet(f"{sink.match_path}/batch_id={k}").count()
-        )
+    def run_batches(active_sink, first_k):
+        batch_s, match_counts = [], []
+        for k in range(first_k, first_k + n_batches):
+            lo = base_rows + (k - 1) * batch_rows
+            bdf = spark.createDataFrame(
+                rows_all[lo : lo + batch_rows], INPUT_SCHEMA_DDL
+            ).repartition(max(cores, 8))
+            t0 = time.time()
+            active_sink.process_batch(bdf, k)
+            batch_s.append(round(time.time() - t0, 2))
+            match_counts.append(
+                spark.read.parquet(f"{active_sink.match_path}/batch_id={k}").count()
+            )
+        return batch_s, match_counts
+
+    batch_s, match_counts = run_batches(sink, 1)
+
+    # cached-index leg: same accumulated table (now n_batches larger — the
+    # comparison slightly FAVORS the uncached leg), probe served from the
+    # block-cached slices instead of a full parquet re-scan per batch
+    sink_c = IncrementalDedup(base_dir, cfg, freq, cache_index=True)
+    cached_s, cached_matches = run_batches(sink_c, n_batches + 1)
+
     out = {
         "cores": cores,
         "base_rows": base_rows,
@@ -411,6 +430,10 @@ def run_streaming_bench(
         "batch_s_min": min(batch_s),
         "batch_rows_per_sec": round(batch_rows / min(batch_s), 1),
         "matches_per_batch": match_counts,
+        "cached_batch_s": cached_s,
+        "cached_batch_s_min": min(cached_s),
+        "cached_batch_rows_per_sec": round(batch_rows / min(cached_s), 1),
+        "cached_matches_per_batch": cached_matches,
     }
     spark.stop()
     shutil.rmtree(base_dir, ignore_errors=True)

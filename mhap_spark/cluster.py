@@ -30,9 +30,14 @@ def _large_star(edges: DataFrame, width: int) -> DataFrame:
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     ).repartition(width, "u")
+    # shuffle_hash hint: mins has the same cardinality class as the edge set
+    # (one row per node), so AQE must never pick broadcast for it — at 3M
+    # input rows its runtime estimate did exactly that and the multi-GB
+    # driver-side hash build OOMed the JVM (round-4 scale cliff); the hinted
+    # join is also exchange-free, sym is already hash-partitioned on u
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
-        sym.join(mins, "u")
+        sym.join(mins.hint("shuffle_hash"), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -47,9 +52,10 @@ def _small_star(edges: DataFrame, width: int) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
     ).repartition(width, "a")
+    # same no-broadcast discipline as _large_star (mins scales with the nodes)
     mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
     nbr_edges = (
-        oriented.join(mins, "a")
+        oriented.join(mins.hint("shuffle_hash"), "a")
         .select(F.col("b").alias("src"), F.col("m").alias("dst"))
     )
     self_edges = mins.select(F.col("a").alias("src"), F.col("m").alias("dst"))
@@ -69,9 +75,64 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Bounded driver-side finish: collect the (small) edge set via Arrow,
+    run union-find with union-by-min + path compression, return the same
+    (image_id, cluster_id = component-min) member→root mapping the
+    large/small-star fixpoint produces.
+
+    This is the latency-regime counterpart of the distributed loop
+    (BENCH/BASELINE.md CC regime table: below ~1M edges every superstep is
+    task-launch latency, not compute): one Arrow collect (≤ cutoff edges ×
+    two short ids — tens of MB) + a linear union-find replaces 5+ shuffle
+    stages × O(log n) rounds.  Only ever invoked under an explicit edge-count
+    cutoff, so the collect is bounded by configuration, not by data."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.select("src", "dst").toPandas()
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    # rank nodes by id so the root of every union tree is the component min
+    order = np.argsort(uniques)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[order] = np.arange(len(uniques))
+    ids_by_rank = uniques[order]
+    n_edges = len(pdf)
+    src_r, dst_r = rank[codes[:n_edges]], rank[codes[n_edges:]]
+
+    parent = np.arange(len(uniques), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(src_r.tolist(), dst_r.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:  # smaller rank (= smaller id) becomes the root
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(uniques))], dtype=np.int64)
+    member = roots != np.arange(len(uniques))
+    out = pd.DataFrame(
+        {
+            "image_id": ids_by_rank[member],
+            "cluster_id": ids_by_rank[roots[member]],
+        }
+    )
+    return edges.sparkSession.createDataFrame(
+        out, "image_id string, cluster_id string"
+    )
+
+
 def connected_components(
     pairs: DataFrame, vertices: DataFrame, max_iters: int = 50,
     check_every: int = 2, target_rows_per_task: int = 250_000,
+    driver_finish_edges: int = 0,
 ) -> DataFrame:
     """pairs(src,dst) + vertices(image_id) → (image_id, cluster_id string).
 
@@ -111,6 +172,21 @@ def connected_components(
     same session never inherits the loop's width and two concurrent CC calls
     cannot race a save/restore (round-3 VERDICT task 10).  Partition count
     never affects the result — only the fixpoint does.
+
+    ``driver_finish_edges`` > 0 enables the LATENCY-regime escape hatch: when
+    the (deduped, pre-loop or mid-loop) edge set is at or below the cutoff,
+    the remaining contraction runs as one driver-side union-find
+    (_driver_union_find) instead of more supersteps.  Sound because
+    large/small-star preserve component structure and never eliminate a
+    component's minimum (it is every node's contraction target), so
+    union-by-min over the current edge set yields exactly the fixpoint's
+    member→root mapping — pinned identical by
+    tests/test_engine_parity.py::test_cc_driver_finish_equivalent.  At the
+    10^12-row design point the edge set (≈ one per duplicate member even at
+    the fixpoint) stays far above any sane cutoff and the distributed loop
+    runs as before; the cutoff bounds the collect by configuration, not by
+    data.  Default 0 = off, so microbenches and parity tests measure the
+    pure loop unless asked.
     """
     check_every = max(1, check_every)
     spark = pairs.sparkSession
@@ -123,8 +199,11 @@ def connected_components(
     # lazy localCheckpoint + pre-loop checksum: one job that materializes the
     # dedup at session width AND yields the count that sizes the loop
     edges = edges.localCheckpoint(eager=False)
+    member_root = None
     prev = _checksum(edges)
-    if prev[0] > 0:
+    if 0 < prev[0] <= driver_finish_edges:
+        member_root = _driver_union_find(edges)
+    elif prev[0] > 0:
         w = width(prev[0])
         for _ in range(0, max_iters, check_every):
             for _r in range(check_every):
@@ -133,16 +212,23 @@ def connected_components(
             cur = _checksum(edges)
             if cur == prev:
                 break
+            if 0 < cur[0] <= driver_finish_edges:
+                member_root = _driver_union_find(edges)
+                break
             prev = cur
             w = width(cur[0])
 
-    # At the fixpoint every edge is (member → root). Roots + singletons map to self.
-    member_root = edges.select(
-        F.col("src").alias("image_id"), F.col("dst").alias("cluster_id")
-    )
+    if member_root is None:
+        # At the fixpoint every edge is (member → root). Roots + singletons
+        # map to self.
+        member_root = edges.select(
+            F.col("src").alias("image_id"), F.col("dst").alias("cluster_id")
+        )
     return (
         vertices.select("image_id")
-        .join(member_root, "image_id", "left")
+        # member_root scales with the duplicate membership (≈ corpus size on
+        # dup-heavy data) — same no-broadcast discipline as the loop joins
+        .join(member_root.hint("shuffle_hash"), "image_id", "left")
         .select(
             "image_id",
             F.coalesce("cluster_id", "image_id").alias("cluster_id"),

@@ -126,6 +126,13 @@ class MhapConfig:
 
     # --- clustering ---
     cc_max_iters: int = 50
+    # edge sets at/below this run the CC finish as ONE driver union-find
+    # instead of latency-bound supersteps (cluster.py _driver_union_find —
+    # bounded Arrow collect ≈ cutoff × two short ids, tens of MB).  The
+    # distributed loop regime is unaffected: at scale the edge count sits
+    # orders of magnitude above this.  0 disables (pure-loop mode, used by
+    # the CC microbench and loop-parity tests).
+    cc_driver_finish_edges: int = 2_000_000
 
     # --- execution ---
     shuffle_partitions: int = 32

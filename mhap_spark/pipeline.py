@@ -103,7 +103,8 @@ def run_pipeline(
     else:
         t2 = time.time()
         clusters = connected_components(
-            pairs, signatures.select("image_id"), max_iters=cfg.cc_max_iters
+            pairs, signatures.select("image_id"), max_iters=cfg.cc_max_iters,
+            driver_finish_edges=cfg.cc_driver_finish_edges,
         )
         if store is not None:
             clusters = store.write(clusters, "clusters", ch)

@@ -144,3 +144,43 @@ def test_connected_components_matches_union_find(spark):
     }
     want = oracle.connected_components(nodes, sorted(edges))
     assert got == want
+
+
+def test_cc_driver_finish_equivalent(spark):
+    """The driver union-find finish (cluster.py driver_finish_edges) must
+    produce exactly the distributed fixpoint's clustering — pre-loop escape
+    (cutoff above the edge count) and the default loop compared on the same
+    random graph + a star-heavy graph (the dup-cluster shape)."""
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:04d}" for i in range(400)]
+    edges = set()
+    while len(edges) < 300:
+        a, b = rng.integers(0, 400, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    for m in range(1, 60):  # star component (hub n0300): the dup-cluster shape
+        edges.add((nodes[300], nodes[300 + m]))
+    pairs_df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    verts_df = spark.createDataFrame([(n,) for n in nodes], "image_id string")
+    loop = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, verts_df, driver_finish_edges=0
+        ).collect()
+    }
+    finish = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, verts_df, driver_finish_edges=10_000
+        ).collect()
+    }
+    assert loop == finish
+    # mid-loop escape: cutoff below the initial edge count but above the
+    # post-round residual, so the switch happens INSIDE the loop
+    mid = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, verts_df, driver_finish_edges=len(edges) - 1
+        ).collect()
+    }
+    assert mid == loop

@@ -173,6 +173,38 @@ def test_streaming_retry_idempotent(spark, tmp_path):
     assert m2.count() == n_matches
 
 
+def test_streaming_cached_index_equivalent(spark, tmp_path):
+    """cache_index=True must produce byte-identical per-batch matches to the
+    uncached path on the same batch sequence — including a mid-stream
+    restart (new sink adopting the existing parquet as its boot slice) and
+    a replayed batch (cache slice replaced, not duplicated)."""
+    corpus = generate_corpus(160, seed=11)
+    rows = corpus_to_rows(corpus)
+    chunks = [rows[i * 40 : (i + 1) * 40] for i in range(4)]
+
+    def run(base, cached, restart_at=None, retry_at=None):
+        sink = IncrementalDedup(base, CFG, cache_index=cached)
+        for k, chunk in enumerate(chunks):
+            if restart_at == k:  # simulate driver restart: fresh sink object
+                sink = IncrementalDedup(base, CFG, cache_index=cached)
+            bdf = spark.createDataFrame(chunk, INPUT_SCHEMA_DDL)
+            sink.process_batch(bdf, k)
+            if retry_at == k:
+                sink.process_batch(bdf, k)  # foreachBatch replay
+        out = {}
+        for k in range(len(chunks)):
+            m = spark.read.parquet(os.path.join(base, "matches", f"batch_id={k}"))
+            out[k] = {(r["src"], r["dst"]) for r in m.collect()}
+        for _, df in getattr(sink, "_slices", []):
+            df.unpersist()
+        return out
+
+    plain = run(str(tmp_path / "plain"), cached=False)
+    cached = run(str(tmp_path / "cached"), cached=True, restart_at=2, retry_at=3)
+    assert plain == cached
+    assert any(plain[k] for k in plain)  # the comparison is not vacuous
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     """Streamed watermarked hourly counts must equal the batch groupBy on
     the same files (availableNow drains everything, so no row is actually
