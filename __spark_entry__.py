@@ -573,6 +573,25 @@ def _q_mhap_cluster_sizes(spark, sf_dir):
     )
 
 
+def _oracle_pipeline_clusters(n: int = 600) -> tuple[dict, dict[str, str]]:
+    """Memoized (corpus, oracle clusters) at the contract config — the
+    sequential pipeline feeds BOTH mhap_cluster_sizes and roc_stats_synth
+    oracles, and oracle_sql() builds every oracle in one call."""
+    global _ORACLE_PIPE_CACHE
+    try:
+        if _ORACLE_PIPE_CACHE[0] == n:
+            return _ORACLE_PIPE_CACHE[1]
+    except NameError:
+        pass
+    from mhap_spark import oracle
+    from mhap_spark.synth import generate_corpus
+
+    corpus = generate_corpus(n, seed=42)
+    _, clusters = oracle.run_pipeline(corpus, MhapConfig(num_hashes=128))
+    _ORACLE_PIPE_CACHE = (n, (corpus, clusters))
+    return corpus, clusters
+
+
 def _mhap_cluster_sizes_oracle_sql(n: int = 600) -> str:
     """DuckDB oracle for mhap_cluster_sizes: the numpy oracle pipeline
     (sequential, Spark-free — tests/test_engine_parity pins its semantics
@@ -582,12 +601,7 @@ def _mhap_cluster_sizes_oracle_sql(n: int = 600) -> str:
     than the computer here."""
     from collections import Counter
 
-    from mhap_spark import oracle
-    from mhap_spark.synth import generate_corpus
-
-    cfg = MhapConfig(num_hashes=128)
-    corpus = generate_corpus(n, seed=42)
-    _, clusters = oracle.run_pipeline(corpus, cfg)
+    _, clusters = _oracle_pipeline_clusters(n)
     sizes = Counter(clusters.values())
     values = ",\n".join(f"('{cid}', {sz})" for cid, sz in sorted(sizes.items()))
     return (
@@ -710,12 +724,9 @@ def _roc_stats_oracle_sql(n: int = 600) -> str:
     through a sequential pair-confusion count
     (oracle_ops.cluster_confusion_row ≡ ops/rocstats.pair_confusion with
     the caps provably inactive at n=600)."""
-    from mhap_spark import oracle, oracle_ops
-    from mhap_spark.synth import generate_corpus
+    from mhap_spark import oracle_ops
 
-    cfg = MhapConfig(num_hashes=128)
-    corpus = generate_corpus(n, seed=42)
-    _, clusters = oracle.run_pipeline(corpus, cfg)
+    corpus, clusters = _oracle_pipeline_clusters(n)
     truth = {
         img: int(c) for img, c in zip(corpus["image_id"], corpus["true_cluster"])
     }
