@@ -93,7 +93,8 @@ def _eligible_bands(bands: DataFrame, sizes: DataFrame, cfg: MhapConfig) -> Data
     ok = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
-    return bands.join(ok, ["band_hash"]).select(
+    # bucket-stats side scales with the bucket count — never broadcast
+    return bands.join(ok.hint("shuffle_hash"), ["band_hash"]).select(
         "image_id", "band_hash", "bucket_size"
     )
 
@@ -179,8 +180,11 @@ def _pairs_star(
     eligible = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
+    # bucket-stats sides scale with the bucket count (tens of millions of
+    # rows at 3M input): shuffle_hash keeps the band_hash exchange reused
+    # and forbids the AQE broadcast flip (round-4 scale cliff class)
     edges = (
-        bands.join(eligible, ["band_hash"])
+        bands.join(eligible.hint("shuffle_hash"), ["band_hash"])
         .where(F.col("image_id") != F.col("src"))
         .select("src", F.col("image_id").alias("dst"), F.lit(False).alias("oversize"))
     )
@@ -193,14 +197,17 @@ def _pairs_star(
         "src",
         F.expr(f"(bucket_size + {cap - 1}) div {cap}").alias("n_salt"),
     )
-    salted = bands.join(over, ["band_hash"]).withColumn(
+    salted = bands.join(over.hint("shuffle_hash"), ["band_hash"]).withColumn(
         "salt", F.pmod(F.crc32(F.encode("image_id", "UTF-8")), F.col("n_salt"))
     )
     sub = salted.groupBy("band_hash", "salt").agg(
         F.min("image_id").alias("sub_hub"), F.first("src").alias("src")
     )
     member_edges = (
-        salted.join(sub.select("band_hash", "salt", "sub_hub"), ["band_hash", "salt"])
+        salted.join(
+            sub.select("band_hash", "salt", "sub_hub").hint("shuffle_hash"),
+            ["band_hash", "salt"],
+        )
         .where(F.col("image_id") != F.col("sub_hub"))
         .select(
             F.col("sub_hub").alias("src"),
@@ -238,11 +245,11 @@ def probe_candidates(
     if funnel_obs is not None:
         sizes = sizes.observe(funnel_obs, *_funnel_exprs(cfg))
     index_ok = index.join(
-        sizes.where(F.col("bucket_size") <= cfg.max_bucket_size),
+        sizes.where(F.col("bucket_size") <= cfg.max_bucket_size).hint("shuffle_hash"),
         ["band_hash"],
     )
     return (
-        probe.join(index_ok, ["band_hash"])
+        probe.join(index_ok.hint("shuffle_hash"), ["band_hash"])
         .where(F.col("probe_id") != F.col("index_id"))
         .groupBy("probe_id", "index_id")
         .agg(F.count(F.lit(1)).alias("votes"))

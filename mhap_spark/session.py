@@ -39,6 +39,16 @@ def build_session(
         # bugs while letting single-process runs breathe.
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.memory.fraction", "0.7")
+        # shuffle/spill scratch space.  On this one-box sandbox every thread
+        # funnels shuffle files through a single virtio disk, which is the
+        # 32-core legs' main contention artifact; pointing local.dir at
+        # tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) is the honest proxy for
+        # a real cluster's per-executor local SSDs.  Default: Spark's normal
+        # java.io.tmpdir behavior, so nothing changes unless asked.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # band-bucket joins carry small uniform buckets: shuffled hash join

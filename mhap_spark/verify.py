@@ -77,13 +77,18 @@ def hamming_prefilter(
     (cfg.prefilter_max_hamming) is conservative — see MhapConfig — so
     surviving-verified output is unchanged w.h.p."""
     bs = signatures.select("image_id", "bitsig")
+    # corpus-scaled side: never broadcast (see verify_pairs)
     joined = (
         candidates.join(
-            bs.select(F.col("image_id").alias("src"), F.col("bitsig").alias("bs_src")),
+            bs.select(
+                F.col("image_id").alias("src"), F.col("bitsig").alias("bs_src")
+            ).hint("shuffle_hash"),
             "src",
         )
         .join(
-            bs.select(F.col("image_id").alias("dst"), F.col("bitsig").alias("bs_dst")),
+            bs.select(
+                F.col("image_id").alias("dst"), F.col("bitsig").alias("bs_dst")
+            ).hint("shuffle_hash"),
             "dst",
         )
     )
@@ -139,17 +144,23 @@ def verified_pairs(
             .distinct()
         )
         bk = bk.join(pair_ids, "image_id", "left_semi")
+    # shuffle_hash hints: the bottom-k side is one wide array row per corpus
+    # row (≈5 KB each — 14+ GB at 3M rows), but Catalyst's byte estimate for
+    # array columns can come in under the broadcast threshold; at 3M rows AQE
+    # flipped this attach to broadcast and OOMed the driver building the hash
+    # table (round-4 scale cliff, same failure class as the CC loop joins).
+    # Corpus-scaled sides must never broadcast.
     joined = (
         candidates.join(
             bk.select(
                 F.col("image_id").alias("src"), F.col("bottomk").alias("bk_src")
-            ),
+            ).hint("shuffle_hash"),
             "src",
         )
         .join(
             bk.select(
                 F.col("image_id").alias("dst"), F.col("bottomk").alias("bk_dst")
-            ),
+            ).hint("shuffle_hash"),
             "dst",
         )
     )
