@@ -114,6 +114,13 @@ def run_pipeline_bench(
             out["signatures"].unpersist()
             out["pairs"].unpersist()
             clusters.unpersist()
+            # Shuffle files are only deleted when the ContextCleaner GCs the
+            # dead plan objects; with a large heap (3M-row legs run 96g) the
+            # JVM may never GC on its own, and three reps of ~30 GB shuffle
+            # overran the 80 GB scratch disk.  Explicit GC between reps keeps
+            # scratch bounded to one rep's live set — outside the timed region.
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(3.0)
         t0 = time.time()
         out = run_pipeline(spark, df, cfg)
         clusters = out["clusters"].persist()
@@ -550,6 +557,8 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
     ap.add_argument("--mega", type=int, default=0,
                     help="plant one duplicate cluster of this size")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed pipeline reps (min reported)")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -557,7 +566,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     if args.pipeline_only:
-        print(json.dumps(run_pipeline_bench(args.cores, args.rows, mega=args.mega)))
+        print(
+            json.dumps(
+                run_pipeline_bench(
+                    args.cores, args.rows, mega=args.mega, reps=args.reps
+                )
+            )
+        )
         return
 
     if args.stages_only:
