@@ -15,6 +15,7 @@ no independent sequential definition to replicate).
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -711,9 +712,14 @@ def _cms_oracle_sql() -> str:
     from mhap_spark import oracle_ops
 
     _, texts = _oracle_docs()
+    # replicate the ENGINE tokenizer exactly: Java regex \s is ASCII-only
+    # ([ \t\n\x0b\f\r]) and F.trim strips ASCII space only — Python's
+    # str.split()/strip() would also split on Unicode spaces (NBSP etc.)
+    # and diverge the hash on non-ASCII text
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     words = []
     for t in texts:
-        words.extend(" ".join((t or "").lower().split()).split(" "))
+        words.extend(ws.sub(" ", (t or "").lower()).strip(" ").split(" "))
     rows = oracle_ops.cms_word_rows(words, depth=4, width=4096, topn=20)
     return _values_sql(rows, ["word", "exact_count", "cms_est"], "sii")
 

@@ -155,6 +155,84 @@ def run_pipeline_bench(
     }
 
 
+def run_hints_ab_bench(
+    cores: int, rows_list: list[int], reps: int = 3
+) -> dict:
+    """Same-window interleaved A/B of the no-broadcast shuffle_hash hint set
+    (round-4 VERDICT task 1): ON and OFF reps alternate inside ONE warm
+    session per corpus size, so host-noise drift cannot masquerade as a hint
+    cost.  Reports min-of-N per variant and the ON-vs-OFF delta — the price
+    (or not) of the 3M-row broadcast-OOM fix at small scale."""
+    from mhap_spark.config import PRESET_SCALE
+    from mhap_spark.pipeline import run_pipeline
+    from mhap_spark.session import build_session
+    from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
+
+    result: dict = {"cores": cores, "reps": reps, "sizes": {}}
+    for rows in rows_list:
+        spark = build_session(
+            f"bench_hints_ab_{rows}",
+            master=f"local[{cores}]",
+            shuffle_partitions=max(cores, 8),
+        )
+        variants = {
+            "hints_on": PRESET_SCALE,
+            "hints_off": PRESET_SCALE.with_overrides(no_broadcast_hints=False),
+        }
+        # warmup both variants (JIT + per-plan codegen are variant-specific)
+        wdf = spark.createDataFrame(
+            corpus_to_rows(generate_corpus(10_000, seed=1, with_images=False)),
+            INPUT_SCHEMA_DDL,
+        ).repartition(max(cores * 2, 8))
+        for cfg in variants.values():
+            wout = run_pipeline(spark, wdf, cfg)
+            wout["clusters"].count()
+            wout["signatures"].unpersist()
+            wout["pairs"].unpersist()
+
+        df = (
+            spark.createDataFrame(
+                corpus_to_rows(generate_corpus(rows, seed=42, with_images=False)),
+                INPUT_SCHEMA_DDL,
+            )
+            .repartition(max(cores * 2, 8))
+            .persist()
+        )
+        df.count()
+
+        times: dict[str, list[float]] = {k: [] for k in variants}
+        checks: dict[str, tuple] = {}
+        for _ in range(max(reps, 1)):
+            for name, cfg in variants.items():
+                t0 = time.time()
+                out = run_pipeline(spark, df, cfg)
+                clusters = out["clusters"].persist()
+                clusters.count()
+                times[name].append(round(time.time() - t0, 2))
+                checks[name] = (
+                    out["pairs"].count(),
+                    clusters.select("cluster_id").distinct().count(),
+                )
+                out["signatures"].unpersist()
+                out["pairs"].unpersist()
+                clusters.unpersist()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(2.0)
+        assert checks["hints_on"] == checks["hints_off"], checks  # same answer
+        on, off = min(times["hints_on"]), min(times["hints_off"])
+        result["sizes"][str(rows)] = {
+            "hints_on_s": on,
+            "hints_off_s": off,
+            "hints_on_reps": times["hints_on"],
+            "hints_off_reps": times["hints_off"],
+            "hint_cost_pct": round((on - off) / off * 100.0, 1),
+            "pairs_and_clusters": list(checks["hints_on"]),
+        }
+        df.unpersist()
+        spark.stop()
+    return result
+
+
 def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     """Per-stage wall seconds with explicit materialization boundaries
     (persist+count between stages) — the decomposition BENCH/BASELINE.md
@@ -554,6 +632,10 @@ def main() -> None:
     ap.add_argument("--store-filter", action="store_true")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stage-scaling", action="store_true")
+    ap.add_argument("--hints-ab", action="store_true",
+                    help="interleaved no-broadcast-hints ON/OFF A/B")
+    ap.add_argument("--ab-rows", type=str, default="20000,300000",
+                    help="comma-separated corpus sizes for --hints-ab")
     ap.add_argument("--rows", type=int, default=PIPELINE_ROWS)
     ap.add_argument("--mega", type=int, default=0,
                     help="plant one duplicate cluster of this size")
@@ -593,6 +675,11 @@ def main() -> None:
 
     if args.stage_scaling:
         print(json.dumps(stage_scaling_bench(args.rows), indent=1))
+        return
+
+    if args.hints_ab:
+        rows_list = [int(x) for x in args.ab_rows.split(",") if x]
+        print(json.dumps(run_hints_ab_bench(args.cores, rows_list, reps=args.reps)))
         return
 
     t_all = time.time()

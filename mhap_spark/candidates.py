@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from mhap_spark.config import MhapConfig
+from mhap_spark.hints import scaled
 
 
 def exploded_bands(signatures: DataFrame) -> DataFrame:
@@ -94,7 +95,7 @@ def _eligible_bands(bands: DataFrame, sizes: DataFrame, cfg: MhapConfig) -> Data
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
     )
     # bucket-stats side scales with the bucket count — never broadcast
-    return bands.join(ok.hint("shuffle_hash"), ["band_hash"]).select(
+    return bands.join(scaled(ok, cfg), ["band_hash"]).select(
         "image_id", "band_hash", "bucket_size"
     )
 
@@ -184,7 +185,7 @@ def _pairs_star(
     # rows at 3M input): shuffle_hash keeps the band_hash exchange reused
     # and forbids the AQE broadcast flip (round-4 scale cliff class)
     edges = (
-        bands.join(eligible.hint("shuffle_hash"), ["band_hash"])
+        bands.join(scaled(eligible, cfg), ["band_hash"])
         .where(F.col("image_id") != F.col("src"))
         .select("src", F.col("image_id").alias("dst"), F.lit(False).alias("oversize"))
     )
@@ -197,7 +198,7 @@ def _pairs_star(
         "src",
         F.expr(f"(bucket_size + {cap - 1}) div {cap}").alias("n_salt"),
     )
-    salted = bands.join(over.hint("shuffle_hash"), ["band_hash"]).withColumn(
+    salted = bands.join(scaled(over, cfg), ["band_hash"]).withColumn(
         "salt", F.pmod(F.crc32(F.encode("image_id", "UTF-8")), F.col("n_salt"))
     )
     sub = salted.groupBy("band_hash", "salt").agg(
@@ -205,7 +206,7 @@ def _pairs_star(
     )
     member_edges = (
         salted.join(
-            sub.select("band_hash", "salt", "sub_hub").hint("shuffle_hash"),
+            scaled(sub.select("band_hash", "salt", "sub_hub"), cfg),
             ["band_hash", "salt"],
         )
         .where(F.col("image_id") != F.col("sub_hub"))
@@ -245,11 +246,11 @@ def probe_candidates(
     if funnel_obs is not None:
         sizes = sizes.observe(funnel_obs, *_funnel_exprs(cfg))
     index_ok = index.join(
-        sizes.where(F.col("bucket_size") <= cfg.max_bucket_size).hint("shuffle_hash"),
+        scaled(sizes.where(F.col("bucket_size") <= cfg.max_bucket_size), cfg),
         ["band_hash"],
     )
     return (
-        probe.join(index_ok.hint("shuffle_hash"), ["band_hash"])
+        probe.join(scaled(index_ok, cfg), ["band_hash"])
         .where(F.col("probe_id") != F.col("index_id"))
         .groupBy("probe_id", "index_id")
         .agg(F.count(F.lit(1)).alias("votes"))

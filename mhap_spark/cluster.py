@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _large_star(edges: DataFrame, width: int) -> DataFrame:
+def _large_star(edges: DataFrame, width: int, hints: bool = True) -> DataFrame:
     """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
 
     No distinct here — duplicate edges pass through min-aggregations
@@ -37,14 +37,14 @@ def _large_star(edges: DataFrame, width: int) -> DataFrame:
     # join is also exchange-free, sym is already hash-partitioned on u
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
-        sym.join(mins.hint("shuffle_hash"), "u")
+        sym.join(mins.hint("shuffle_hash") if hints else mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
 
 
-def _small_star(edges: DataFrame, width: int) -> DataFrame:
+def _small_star(edges: DataFrame, width: int, hints: bool = True) -> DataFrame:
     """Orient edges high→low; for each high node a: m = min neighbors;
     emit (b, m) for b in N(a) ∪ {a}, b ≠ m.  Width discipline as in
     _large_star; the round-final dedup likewise pre-partitions on the full
@@ -55,7 +55,7 @@ def _small_star(edges: DataFrame, width: int) -> DataFrame:
     # same no-broadcast discipline as _large_star (mins scales with the nodes)
     mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
     nbr_edges = (
-        oriented.join(mins.hint("shuffle_hash"), "a")
+        oriented.join(mins.hint("shuffle_hash") if hints else mins, "a")
         .select(F.col("b").alias("src"), F.col("m").alias("dst"))
     )
     self_edges = mins.select(F.col("a").alias("src"), F.col("m").alias("dst"))
@@ -132,7 +132,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 def connected_components(
     pairs: DataFrame, vertices: DataFrame, max_iters: int = 50,
     check_every: int = 2, target_rows_per_task: int = 250_000,
-    driver_finish_edges: int = 0,
+    driver_finish_edges: int = 0, no_broadcast_hints: bool = True,
 ) -> DataFrame:
     """pairs(src,dst) + vertices(image_id) → (image_id, cluster_id string).
 
@@ -207,7 +207,9 @@ def connected_components(
         w = width(prev[0])
         for _ in range(0, max_iters, check_every):
             for _r in range(check_every):
-                edges = _small_star(_large_star(edges, w), w)
+                edges = _small_star(
+                    _large_star(edges, w, no_broadcast_hints), w, no_broadcast_hints
+                )
             edges = edges.localCheckpoint(eager=False)
             cur = _checksum(edges)
             if cur == prev:
@@ -228,7 +230,11 @@ def connected_components(
         vertices.select("image_id")
         # member_root scales with the duplicate membership (≈ corpus size on
         # dup-heavy data) — same no-broadcast discipline as the loop joins
-        .join(member_root.hint("shuffle_hash"), "image_id", "left")
+        .join(
+            member_root.hint("shuffle_hash") if no_broadcast_hints else member_root,
+            "image_id",
+            "left",
+        )
         .select(
             "image_id",
             F.coalesce("cluster_id", "image_id").alias("cluster_id"),

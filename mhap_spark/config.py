@@ -135,6 +135,13 @@ class MhapConfig:
     cc_driver_finish_edges: int = 2_000_000
 
     # --- execution ---
+    # True (default): every corpus-scaled join side carries an explicit
+    # shuffle_hash hint so AQE's runtime byte estimate can never flip it to
+    # broadcast — at 3M rows the estimate undershot the wide array columns
+    # and the driver-side broadcast build OOMed the JVM (round-4 cliff).
+    # False: leave strategy to Catalyst/AQE — lets genuinely-small sides
+    # broadcast on small corpora (measured A/B: BENCH/HINTS_AB.json).
+    no_broadcast_hints: bool = True
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048
     salt_buckets: int = 8            # salt fan-out for hot-band pair generation

@@ -105,6 +105,7 @@ def run_pipeline(
         clusters = connected_components(
             pairs, signatures.select("image_id"), max_iters=cfg.cc_max_iters,
             driver_finish_edges=cfg.cc_driver_finish_edges,
+            no_broadcast_hints=cfg.no_broadcast_hints,
         )
         if store is not None:
             clusters = store.write(clusters, "clusters", ch)

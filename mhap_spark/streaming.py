@@ -81,7 +81,16 @@ class IncrementalDedup:
                 F.col("batch_id") < F.lit(batch_id)
             )
         if not self._slices:  # restart: adopt the existing table as one slice
-            boot = spark.read.parquet(self.sig_path).persist()
+            # the retry guard must be baked in HERE, not just at probe time:
+            # on crash-replay the current batch's old partition already exists
+            # on disk, and persisting it into the boot slice would serve its
+            # stale rows alongside the fresh per-batch slice added after the
+            # overwrite (duplicate index entries / FileNotFound on eviction)
+            boot = (
+                spark.read.parquet(self.sig_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .persist()
+            )
             boot.count()
             self._slices.append((-1, boot))
         live = [
@@ -89,6 +98,8 @@ class IncrementalDedup:
             for bid, df in self._slices
             if bid < batch_id or bid == -1
         ]
+        if not live:  # first-batch retry on a fresh dir: no earlier batches
+            return None
         out = live[0]
         for df in live[1:]:
             out = out.unionByName(df)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
 from mhap_spark.config import MhapConfig
+from mhap_spark.hints import scaled
 
 
 def bottom_k_jaccard_batch(a_list, b_list) -> np.ndarray:
@@ -80,15 +81,15 @@ def hamming_prefilter(
     # corpus-scaled side: never broadcast (see verify_pairs)
     joined = (
         candidates.join(
-            bs.select(
+            scaled(bs.select(
                 F.col("image_id").alias("src"), F.col("bitsig").alias("bs_src")
-            ).hint("shuffle_hash"),
+            ), cfg),
             "src",
         )
         .join(
-            bs.select(
+            scaled(bs.select(
                 F.col("image_id").alias("dst"), F.col("bitsig").alias("bs_dst")
-            ).hint("shuffle_hash"),
+            ), cfg),
             "dst",
         )
     )
@@ -152,15 +153,15 @@ def verified_pairs(
     # Corpus-scaled sides must never broadcast.
     joined = (
         candidates.join(
-            bk.select(
+            scaled(bk.select(
                 F.col("image_id").alias("src"), F.col("bottomk").alias("bk_src")
-            ).hint("shuffle_hash"),
+            ), cfg),
             "src",
         )
         .join(
-            bk.select(
+            scaled(bk.select(
                 F.col("image_id").alias("dst"), F.col("bottomk").alias("bk_dst")
-            ).hint("shuffle_hash"),
+            ), cfg),
             "dst",
         )
     )

@@ -182,7 +182,7 @@ def test_streaming_cached_index_equivalent(spark, tmp_path):
     rows = corpus_to_rows(corpus)
     chunks = [rows[i * 40 : (i + 1) * 40] for i in range(4)]
 
-    def run(base, cached, restart_at=None, retry_at=None):
+    def run(base, cached, restart_at=None, retry_at=None, crash_replay_at=None):
         sink = IncrementalDedup(base, CFG, cache_index=cached)
         for k, chunk in enumerate(chunks):
             if restart_at == k:  # simulate driver restart: fresh sink object
@@ -191,6 +191,14 @@ def test_streaming_cached_index_equivalent(spark, tmp_path):
             sink.process_batch(bdf, k)
             if retry_at == k:
                 sink.process_batch(bdf, k)  # foreachBatch replay
+            if crash_replay_at == k:
+                # crash AFTER the batch's partition committed but before the
+                # streaming offset did: driver restarts (fresh sink, empty
+                # cache) and foreachBatch replays the SAME batch — its stale
+                # partition is already on disk and must not be adopted into
+                # the boot slice (round-4 ADVICE high)
+                sink = IncrementalDedup(base, CFG, cache_index=cached)
+                sink.process_batch(bdf, k)
         out = {}
         for k in range(len(chunks)):
             m = spark.read.parquet(os.path.join(base, "matches", f"batch_id={k}"))
@@ -203,6 +211,12 @@ def test_streaming_cached_index_equivalent(spark, tmp_path):
     cached = run(str(tmp_path / "cached"), cached=True, restart_at=2, retry_at=3)
     assert plain == cached
     assert any(plain[k] for k in plain)  # the comparison is not vacuous
+    # crash-replay of batch 1 (partition exists pre-restart) + first-batch
+    # retry on a fresh dir (live=[] must mean "no earlier batches", not crash)
+    replayed = run(
+        str(tmp_path / "replayed"), cached=True, retry_at=0, crash_replay_at=1
+    )
+    assert plain == replayed
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):

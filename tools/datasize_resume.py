@@ -88,10 +88,14 @@ def main() -> None:
     child = _spawn(args.rows, args.cores, ckpt)
     killed_at = None
     stages_at_kill: list[str] = []
+    manifest_at_kill: dict = {}
     while child.poll() is None:
         m = _manifest(ckpt)
         if "pairs" in m:
             stages_at_kill = sorted(m)
+            manifest_at_kill = m  # keep the dict that confirmed 'pairs' —
+            # a later re-read can race the writer's atomic replace and
+            # return {} after a multi-minute leg
             child.kill()  # SIGKILL: no shutdown hooks, the crash case
             killed_at = time.time() - t0
             break
@@ -101,7 +105,7 @@ def main() -> None:
         print(json.dumps({"error": "child finished before pairs checkpoint",
                           "stdout": child.stdout.read()[-2000:]}))
         sys.exit(1)
-    run1_id = _manifest(ckpt)["pairs"]["run_id"]
+    run1_id = manifest_at_kill["pairs"]["run_id"]
     result["leg1_killed_after_s"] = round(killed_at, 1)
     result["leg1_stages_committed_at_kill"] = stages_at_kill
 
