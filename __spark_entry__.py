@@ -308,11 +308,13 @@ def _q_pair_identity_scores(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _q_approx_distinct(spark, sf_dir):
-    """HLL approximate aggregates (mhap/sketch/CountMin.java analog).  The
-    ONLY remaining rows-only query (round 4): Spark's HyperLogLog++ register
-    layout is a JVM implementation detail with no independent sequential
-    definition to replicate, so an external oracle cannot predict the
-    estimate; the relative-error bound is pytest-pinned instead."""
+    """HLL approximate aggregates (mhap/sketch/CountMin.java analog).
+    Oracle-hash-checked since round 5: oracle_ops.hllpp_count_distinct is an
+    exact sequential replica of Spark's HyperLogLog++ (xxhash64 seed-42
+    registers, linear-counting cutover, K-nearest-knot bias interpolation
+    over the published HLL++ paper tables in hll_constants.py) — register
+    max-merge is order/partitioning-independent, so the replica predicts the
+    distributed estimate to the last digit."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -703,6 +705,33 @@ def _simhash_oracle_sql() -> str:
     _, texts = _oracle_docs()
     rows = oracle_ops.simhash_hamming_hist(texts, k=8, max_hamming=2)
     return _values_sql(rows, ["hamming", "n_pairs"], "ii")
+
+
+def _approx_distinct_oracle_sql() -> str:
+    """DuckDB oracle for approx_distinct: sequential replica of Spark's
+    HyperLogLog++ (oracle_ops.hllpp_count_distinct — algorithm from the
+    public HLL++ paper as engineered in Spark's OSS catalyst helper; bias
+    knots in hll_constants.py), pinned exact-match vs
+    ``F.approx_count_distinct`` across 15 cardinalities by
+    tests/test_oracle_ops.py.  Closes the last rows-only contract query."""
+    import duckdb
+
+    from mhap_spark import oracle_ops
+
+    rows = duckdb.sql(
+        "SELECT l_partkey, l_suppkey FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+    parts = [r[0] for r in rows]
+    supps = [r[1] for r in rows]
+    row = (
+        oracle_ops.hllpp_count_distinct(parts),
+        oracle_ops.hllpp_count_distinct(supps),
+        len(set(parts)),
+    )
+    return _values_sql(
+        [row], ["approx_parts", "approx_supps", "exact_parts"], "iii"
+    )
 
 
 def _cms_oracle_sql() -> str:
@@ -1288,10 +1317,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_gram_words": _bloom_oracle_sql(k=8),
         "mhap_signatures": _mhap_signatures_oracle_sql(),
         "mhap_cluster_sizes": _mhap_cluster_sizes_oracle_sql(),
-        # round-4 sequential-replica oracles (oracle_ops.py): every
-        # remaining operator except approx_distinct (Spark's HLL internals
-        # have no independent sequential definition to replicate) is now
-        # driver-hash-checked
+        # round-4/5 sequential-replica oracles (oracle_ops.py): every
+        # operator is now driver-hash-checked — approx_distinct closed in
+        # round 5 via the HLL++ replica
+        "approx_distinct": _approx_distinct_oracle_sql(),
         "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql(),
         "simhash_near_dup": _simhash_oracle_sql(),
         "cms_word_freq": _cms_oracle_sql(),

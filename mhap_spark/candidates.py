@@ -264,6 +264,7 @@ def candidate_pairs(
     strategy: str = "grouped",
     hot_threshold: int = 64,
     funnel_obs: Observation | None = None,
+    keep_oversize_flag: bool = False,
 ) -> DataFrame:
     """signatures → (src, dst, votes) with src < dst, votes ≥ gate.
 
@@ -316,7 +317,13 @@ def candidate_pairs(
         # votes ≥ 1: sub-bucket membership jitters across bands when bucket
         # sizes change n_salt, so the vote gate would split an edge's votes
         # and fragment the mega-cluster; stage-2 verify is the real filter
-        # for these (volume stays linear — size−1 edges per bucket)
+        # for these (volume stays linear — size−1 edges per bucket).
+        # ``keep_oversize_flag`` carries the flag downstream so the pipeline
+        # can measure the purity of the votes≥1 relaxation (how many
+        # oversize-relaxed edges survive verify).
+        cols = ["src", "dst", "votes"] + (
+            ["any_oversize"] if keep_oversize_flag else []
+        )
         return (
             pairs.groupBy("src", "dst")
             .agg(
@@ -327,7 +334,7 @@ def candidate_pairs(
                 F.col("votes")
                 >= F.when(F.col("any_oversize"), F.lit(1)).otherwise(F.lit(gate))
             )
-            .select("src", "dst", "votes")
+            .select(*cols)
         )
     sizes = bucket_sizes(bands)
     if funnel_obs is not None:

@@ -495,3 +495,73 @@ def image_stats_rows(corpus: dict) -> list[tuple]:
             (img_id, ok, err, w, h, luma, ph, bool(ok and ph == int(stored_ph)))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spark HyperLogLog++ replica (approx_count_distinct, relativeSD = 0.05).
+# Algorithm per the public HLL++ paper (Heule et al., EDBT 2013) as
+# engineered in Spark's catalyst HyperLogLogPlusPlusHelper (OSS): one
+# xxhash64(value, seed 42) per row, p index bits / leading-zero registers,
+# linear counting below the threshold, and K-nearest-knot bias interpolation
+# over the paper's published tables (mhap_spark.hll_constants).  Register
+# max-merge is order- and partitioning-independent, so the sequential
+# replica predicts the distributed aggregate exactly.
+# ---------------------------------------------------------------------------
+
+
+def hllpp_count_distinct(values, rsd: float = 0.05) -> int:
+    """Exact sequential replica of ``F.approx_count_distinct(col, 0.05)``
+    over an int64 column — same estimate to the last digit."""
+    import math
+    from bisect import bisect_left
+
+    from mhap_spark import hll_constants as hc
+
+    p = int(math.ceil(2.0 * math.log(1.106 / rsd) / math.log(2.0)))
+    if p != 9:
+        raise ValueError("only the p=9 (rsd=0.05 default) tables are carried")
+    m = 1 << p
+    idx_shift = 64 - p
+    w_padding = 1 << (p - 1)
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+    registers = [0] * m
+    for v in values:
+        x = xxhash64_long(int(v)) & _MASK
+        idx = x >> idx_shift
+        w = ((x << p) & _MASK) | w_padding
+        pw = 65 - w.bit_length()  # Long.numberOfLeadingZeros(w) + 1
+        if pw > registers[idx]:
+            registers[idx] = pw
+
+    z_inverse, v_zero = 0.0, 0.0
+    for r in registers:  # register order == Spark's word-major query order
+        z_inverse += 1.0 / (1 << r)
+        if r == 0:
+            v_zero += 1.0
+    e_raw = alpha_m2 / z_inverse
+
+    def bias(e: float) -> float:
+        knots = hc.RAW_ESTIMATE_P9
+        n = len(knots)
+        # == Java Arrays.binarySearch: match index, else insertion point
+        i = bisect_left(knots, e)
+        low = max(i - hc.K_NEAREST + 1, 0)
+        high = min(low + hc.K_NEAREST, n)
+        while high < n and (e - knots[high]) ** 2 < (e - knots[low]) ** 2:
+            low += 1
+            high += 1
+        return sum(hc.BIAS_P9[low:high]) / (high - low)
+
+    def e_bias_corrected(e: float) -> float:
+        return e - bias(e) if e < 5.0 * m else e  # p < 19 always holds here
+
+    if v_zero > 0:
+        h_lin = m * math.log(m / v_zero)
+        if h_lin <= hc.THRESHOLDS[p - 4] or e_raw <= 2.5 * m:
+            est = h_lin
+        else:
+            est = e_bias_corrected(e_raw)
+    else:
+        est = e_bias_corrected(e_raw)
+    return int(math.floor(est + 0.5))  # Java Math.round

@@ -22,7 +22,7 @@ import os
 import sys
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 if __package__ in (None, ""):  # spark-submit by file path: repo root not on sys.path
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -77,15 +77,37 @@ def run_pipeline(
 
     # --- stage B: candidate + verified pairs --------------------------------
     funnel_obs: Observation | None = None
+    purity_obs: tuple[Observation, Observation] | None = None
     if store is not None and store.has("pairs", ch):
         pairs = store.read(spark, "pairs")
     else:
         t1 = time.time()
         funnel_obs = Observation()
-        cands = candidate_pairs(
-            signatures, cfg, strategy=candidate_strategy, funnel_obs=funnel_obs
+        # purity of the oversize votes≥1 relaxation (star+salt only): count
+        # oversize-relaxed edges entering verify vs surviving it — both ride
+        # the pairs materialization as Observations, zero extra jobs
+        track_purity = (
+            cfg.candidate_mode == "star" and cfg.oversize_star == "salt"
         )
-        pairs = verified_pairs(cands, signatures, cfg)
+        cands = candidate_pairs(
+            signatures, cfg, strategy=candidate_strategy, funnel_obs=funnel_obs,
+            keep_oversize_flag=track_purity,
+        )
+        if track_purity:
+            obs_in, obs_out = Observation(), Observation()
+            oversize_count = F.coalesce(
+                F.sum(F.col("any_oversize").cast("long")), F.lit(0)
+            )
+            cands = cands.observe(
+                obs_in, oversize_count.alias("oversize_edges_to_verify")
+            )
+            pairs = verified_pairs(cands, signatures, cfg)
+            pairs = pairs.observe(
+                obs_out, oversize_count.alias("oversize_edges_verified")
+            ).drop("any_oversize")
+            purity_obs = (obs_in, obs_out)
+        else:
+            pairs = verified_pairs(cands, signatures, cfg)
         if store is None:
             pairs = pairs.persist()  # consumed by CC and by the caller
         if store is not None:
@@ -93,6 +115,9 @@ def run_pipeline(
             # the funnel metrics cost zero extra jobs (round-1 Amdahl fix)
             pairs = store.write(pairs, "pairs", ch)
             funnel = dict(funnel_obs.get)
+            if purity_obs is not None:
+                funnel.update(purity_obs[0].get)
+                funnel.update(purity_obs[1].get)
             funnel["elapsed_s"] = time.time() - t1
             funnel = {k: float(v) if v is not None else None for k, v in funnel.items()}
             store.write_metrics(spark, "pairs", funnel)
@@ -116,6 +141,7 @@ def run_pipeline(
         "pairs": pairs,
         "clusters": clusters,
         "funnel_obs": funnel_obs,
+        "purity_obs": purity_obs,
     }
 
 

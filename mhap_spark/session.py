@@ -55,6 +55,14 @@ def build_session(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # opt-in Spark event log (job/stage/task timings) for the bench probes
+    # (tools/joblog.py parses it into per-job latency + per-stage skew)
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{evlog}"
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -26,6 +26,93 @@ from mhap_spark.minhash import compute_signatures
 from mhap_spark.verify import verified_pairs
 
 
+class BandIndex:
+    """Band-partitioned inverted index for the streaming ``-q`` mode — the
+    10^12-row layout that streaming.py previously only described in prose.
+
+    Layout: ``band_index/batch_id=N/pfx=P/*.parquet`` holding EXPLODED
+    ``(band_hash, image_id)`` rows, pfx = pmod(band_hash, n_prefix).  Each
+    micro-batch overwrites its own ``batch_id=N`` subtree (idempotent under
+    foreachBatch retries, same discipline as the signature table).
+
+    Probe physical shape — the point of the layout: the accumulated index
+    is the enormous side, so it must NEVER be shuffled per batch.  The
+    probe's exploded bands (batch_rows × n_bands rows of 16 B — MBs even at
+    10k-row batches) are BROADCAST into a map-side hash semi-join against
+    the index scan: per-batch cost is one columnar scan of two int64
+    columns plus work proportional to the collision set, not to the index.
+    Contrast the flat path (candidates.probe_candidates over the re-read
+    signature table): it re-explodes and re-shuffles the ENTIRE index twice
+    per batch (bucket sizes + the match join) — the measured round-4
+    per-batch bottleneck.  Bucket-size capping stays exact: every index row
+    of a probed band survives the semi-join, so sizes computed on the
+    surviving subset equal the true bucket sizes for all probed bands.
+
+    On a real cluster the remaining scan term parallelizes across
+    executors and prunes by ``pfx`` for narrow probes; bench.py
+    --index-growth measures how per-batch latency tracks index growth in
+    both layouts."""
+
+    def __init__(self, path: str, n_prefix: int = 64):
+        self.path = path
+        self.n_prefix = n_prefix
+
+    def append(self, sigs: DataFrame, batch_id: int) -> None:
+        bands = sigs.select(
+            "image_id", F.explode("bands").alias("band_hash")
+        ).withColumn("pfx", F.pmod(F.col("band_hash"), F.lit(self.n_prefix)))
+        bands.write.mode("overwrite").partitionBy("pfx").parquet(
+            os.path.join(self.path, f"batch_id={batch_id}")
+        )
+
+    def probe(
+        self, probe_sigs: DataFrame, cfg: MhapConfig, batch_id: int
+    ) -> DataFrame | None:
+        """(probe_id, index_id, votes ≥ gate) against batches strictly
+        earlier than ``batch_id`` — same semantics as
+        candidates.probe_candidates on the accumulated signatures."""
+        spark = probe_sigs.sparkSession
+        if not os.path.exists(self.path):
+            return None
+        idx = (
+            spark.read.option("basePath", self.path)
+            .parquet(self.path)
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .select("band_hash", F.col("image_id").alias("index_id"))
+        )
+        probe = probe_sigs.select(
+            F.col("image_id").alias("probe_id"),
+            F.explode("bands").alias("band_hash"),
+        )
+        keys = probe.select("band_hash").distinct()
+        # map-side semi filter: broadcast the (bounded) probe band set, scan
+        # the (unbounded) index — collision rows only survive
+        relevant = idx.join(F.broadcast(keys), ["band_hash"]).persist()
+        try:
+            sizes = relevant.groupBy("band_hash").agg(
+                F.count(F.lit(1)).alias("bucket_size")
+            )
+            ok = relevant.join(
+                sizes.where(F.col("bucket_size") <= cfg.max_bucket_size).hint(
+                    "shuffle_hash"
+                ),
+                ["band_hash"],
+            )
+            out = (
+                ok.join(F.broadcast(probe), ["band_hash"])
+                .where(F.col("probe_id") != F.col("index_id"))
+                .groupBy("probe_id", "index_id")
+                .agg(F.count(F.lit(1)).alias("votes"))
+                .filter(F.col("votes") >= F.lit(cfg.min_band_matches()))
+            )
+            # materialize through the persisted collision set so the caller
+            # can consume it repeatedly without re-scanning the index
+            out = out.localCheckpoint(eager=True)
+        finally:
+            relevant.unpersist()
+        return out
+
+
 class IncrementalDedup:
     """foreachBatch sink: sketch → probe vs indexed signatures → append.
 
@@ -61,6 +148,7 @@ class IncrementalDedup:
         cfg: MhapConfig,
         freq: FreqTable | None = None,
         cache_index: bool = False,
+        band_index: bool = False,
     ):
         self.base_dir = base_dir
         self.cfg = cfg
@@ -69,6 +157,14 @@ class IncrementalDedup:
         self._slices: list[tuple[int, DataFrame]] = []  # (batch_id, persisted df)
         self.sig_path = os.path.join(base_dir, "signatures")
         self.match_path = os.path.join(base_dir, "matches")
+        # band_index=True: cross-batch probing goes through the
+        # band-partitioned inverted index (BandIndex) instead of re-reading
+        # and re-shuffling the whole signature table — the 10^12-row layout.
+        # The signature table remains the source of truth for the verify
+        # arrays (pruned to matched ids only).
+        self.bindex = (
+            BandIndex(os.path.join(base_dir, "band_index")) if band_index else None
+        )
 
     def _indexed(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
         """Accumulated signatures of batches STRICTLY EARLIER than
@@ -129,17 +225,44 @@ class IncrementalDedup:
         cands = candidate_pairs(sigs, self.cfg)
         both = sigs.select("image_id", "bottomk")
 
-        indexed = self._indexed(spark, batch_id)
-        if indexed is not None:
-            # cross-batch duplicates: probe vs the accumulated index
-            cands = cands.unionByName(
-                probe_candidates(sigs, indexed, self.cfg).select(
-                    F.col("probe_id").alias("src"),
-                    F.col("index_id").alias("dst"),
-                    "votes",
+        if self.bindex is not None:
+            # cross-batch duplicates via the band-partitioned index: the
+            # index side is scanned, never shuffled (see BandIndex.probe);
+            # verify arrays come from the signature table PRUNED to matched
+            # ids, so the wide bottom-k rows of unmatched index entries
+            # never move either
+            found = self.bindex.probe(sigs, self.cfg, batch_id)
+            if found is not None:
+                cands = cands.unionByName(
+                    found.select(
+                        F.col("probe_id").alias("src"),
+                        F.col("index_id").alias("dst"),
+                        "votes",
+                    )
                 )
-            )
-            both = both.unionByName(indexed.select("image_id", "bottomk"))
+                matched_ids = found.select(
+                    F.col("index_id").alias("image_id")
+                ).distinct()
+                indexed = spark.read.parquet(self.sig_path).where(
+                    F.col("batch_id") < F.lit(batch_id)
+                )
+                both = both.unionByName(
+                    indexed.join(matched_ids, "image_id", "left_semi").select(
+                        "image_id", "bottomk"
+                    )
+                )
+        else:
+            indexed = self._indexed(spark, batch_id)
+            if indexed is not None:
+                # cross-batch duplicates: probe vs the accumulated index
+                cands = cands.unionByName(
+                    probe_candidates(sigs, indexed, self.cfg).select(
+                        F.col("probe_id").alias("src"),
+                        F.col("index_id").alias("dst"),
+                        "votes",
+                    )
+                )
+                both = both.unionByName(indexed.select("image_id", "bottomk"))
 
         matches = verified_pairs(cands, both, self.cfg)
         matches.write.mode("overwrite").parquet(
@@ -149,6 +272,13 @@ class IncrementalDedup:
             os.path.join(self.sig_path, f"batch_id={batch_id}")
         )
         sigs.unpersist()
+        if self.bindex is not None:
+            self.bindex.append(
+                spark.read.parquet(self.sig_path).where(
+                    F.col("batch_id") == F.lit(batch_id)
+                ),
+                batch_id,
+            )
         self._append_cache(spark, batch_id)
 
     def start(self, stream_df: DataFrame, trigger_available_now: bool = True):

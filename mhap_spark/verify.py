@@ -182,4 +182,10 @@ def verified_pairs(
     gate = (F.col("score") >= F.lit(cfg.threshold)) & (
         F.col("jaccard") >= F.lit(cfg.min_jaccard)
     )
-    return scored.filter(gate).select("src", "dst", "votes", "jaccard", "score")
+    # the star-mode oversize flag (candidates.keep_oversize_flag) rides
+    # through so the pipeline's purity Observation can count which
+    # vote-gate-relaxed edges actually survive verification
+    extra = ["any_oversize"] if "any_oversize" in candidates.columns else []
+    return scored.filter(gate).select(
+        "src", "dst", "votes", "jaccard", "score", *extra
+    )

@@ -49,3 +49,22 @@ def test_round_half_up_matches_spark_round(spark, x):
     df = spark.createDataFrame([(x,)], "x double")
     got = df.select(F.round("x", 6).alias("r")).first()["r"]
     assert got == round_half_up(x, 6)
+
+
+def test_hllpp_replica_matches_spark_exactly(spark):
+    """oracle_ops.hllpp_count_distinct must reproduce F.approx_count_distinct
+    to the LAST DIGIT across all three estimator regimes: linear counting
+    (small n), bias-corrected raw estimate (n ≈ m..5m), and uncorrected raw
+    (n ≫ 5m) — the pin behind the approx_distinct contract oracle."""
+    import random
+
+    from mhap_spark.oracle_ops import hllpp_count_distinct
+
+    rng = random.Random(7)
+    for n in [1, 10, 100, 500, 1200, 2600, 5000, 20000]:
+        vals = [rng.randrange(-2**62, 2**62) for _ in range(n)]
+        vals = vals + vals[: n // 3]  # duplicates must not move the estimate
+        df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(8)
+        got = df.agg(F.approx_count_distinct("x").alias("e")).first()["e"]
+        assert got == hllpp_count_distinct(vals), n
+    assert hllpp_count_distinct([]) == 0
