@@ -81,12 +81,14 @@ def run_pipeline_bench(
     runs are taken and the minimum reported — this host shows 2-4× wall-clock
     swings between identical runs (BENCH/BASELINE.md), and min-of-N is the
     standard defense."""
-    from mhap_spark.config import PRESET_SCALE
+    from mhap_spark.config import PRESET_SCALE, hints_default_for_rows
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.session import build_session
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 
-    cfg = PRESET_SCALE
+    # size-conditional no-broadcast hints (round-5 A/B: 13-25% cost below
+    # 300k rows, OOM-protection needed from the measured 3M cliff)
+    cfg = PRESET_SCALE.with_overrides(no_broadcast_hints=hints_default_for_rows(rows))
     corpus = generate_corpus(rows, seed=42, with_images=False, mega_cluster=mega)
     spark = build_session(
         f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
@@ -260,7 +262,9 @@ def run_stage_bench(cores: int, rows: int = PIPELINE_ROWS) -> dict:
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
     from mhap_spark.verify import verified_pairs
 
-    cfg = PRESET_SCALE
+    from mhap_spark.config import hints_default_for_rows
+
+    cfg = PRESET_SCALE.with_overrides(no_broadcast_hints=hints_default_for_rows(rows))
     # shuffle_partitions = cores, same as run_pipeline_bench: the stage bench
     # previously inherited the session default of 4×cores, so the 32-core leg
     # ran 128 shuffle partitions against the 8-core leg's 32 — on this

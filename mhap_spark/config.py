@@ -140,7 +140,13 @@ class MhapConfig:
     # broadcast — at 3M rows the estimate undershot the wide array columns
     # and the driver-side broadcast build OOMed the JVM (round-4 cliff).
     # False: leave strategy to Catalyst/AQE — lets genuinely-small sides
-    # broadcast on small corpora (measured A/B: BENCH/HINTS_AB.json).
+    # broadcast on small corpora.  The round-5 interleaved A/B
+    # (BENCH/HINTS_AB_raw.json) measured the hints' cost at +25.5% (20k
+    # rows) and +12.7% (300k) with byte-identical outputs, so callers that
+    # KNOW the corpus size should resolve this via hints_default_for_rows
+    # (bench.py and the pipeline CLI do); the unconditional-True default
+    # stays for unknown-scale callers, where OOM-safety beats small-corpus
+    # speed.
     no_broadcast_hints: bool = True
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048
@@ -181,6 +187,17 @@ class MhapConfig:
 
     def with_overrides(self, **kw) -> "MhapConfig":
         return replace(self, **kw)
+
+
+def hints_default_for_rows(n_rows: int) -> bool:
+    """Size-conditional default for ``no_broadcast_hints`` when the caller
+    knows the corpus row count: the broadcast-OOM cliff the hints exist to
+    kill was measured at 3M rows (round 4), while 1M-row runs completed
+    safely WITHOUT hints (round-3 data-size legs) and the hints cost
+    13–25% below 300k (round-5 A/B).  ≥1M rows keeps the hints (a 2M-row
+    safety margin below the measured cliff); smaller corpora let
+    Catalyst/AQE broadcast freely."""
+    return n_rows >= 1_000_000
 
 
 # Presets mirroring mhap/main/MhapMain.java:137-198 (--settings 1/2/3).

@@ -191,11 +191,15 @@ def _main() -> None:
     )
     args = ap.parse_args()
 
-    from mhap_spark.config import PRESETS
+    from mhap_spark.config import PRESETS, hints_default_for_rows
 
     spark = build_session("mhap_pipeline", master=args.master)
+    # the CLI knows the corpus size → size-conditional no-broadcast hints
+    # (BENCH/HINTS_AB_raw.json: 13-25% cost below 300k rows; the OOM cliff
+    # they protect against was measured at 3M)
     cfg = PRESETS[args.preset].with_overrides(
-        num_hashes=args.num_hashes, min_store_shingles=args.min_store_shingles
+        num_hashes=args.num_hashes, min_store_shingles=args.min_store_shingles,
+        no_broadcast_hints=hints_default_for_rows(args.rows),
     )
     corpus = generate_corpus(args.rows, seed=args.seed)
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(

@@ -139,8 +139,9 @@ class IncrementalDedup:
     is unchanged (parquet partitions remain the source of truth; on restart
     the existing table is loaded as one slice) and the retry guard is
     unchanged (slices strictly earlier than the current batch_id).  Sized
-    for hot-window deployments; at 10^12 rows the index lives in a
-    band-partitioned table and the uncached path applies."""
+    for hot-window deployments; at 10^12 rows use ``band_index=True``
+    (BandIndex — the band-partitioned layout whose probe never shuffles
+    the index; measured vs flat in BENCH/BASELINE.md round 5)."""
 
     def __init__(
         self,
