@@ -50,7 +50,9 @@ def parse(path: str) -> dict:
     job_rows = []
     for jid, j in sorted(jobs.items()):
         if "start" in j and "end" in j:
-            job_rows.append({"job": jid, "ms": j["end"] - j["start"]})
+            job_rows.append(
+                {"job": jid, "ms": j["end"] - j["start"], "start": j["start"]}
+            )
     stage_rows = []
     for sid, s in sorted(stages.items()):
         ts = s.get("task_ms", [])
