@@ -65,7 +65,7 @@ def _run_child(cmd: list[str]) -> dict:
 
 def run_pipeline_bench(
     cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 3,
-    mega: int = 0,
+    mega: int = 0, hints: str = "auto",
 ) -> dict:
     """Synth corpus → full pipeline (web-scale star preset at the reference's
     512-hash sketch config); returns timings, funnel counts, planted recall.
@@ -87,8 +87,13 @@ def run_pipeline_bench(
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 
     # size-conditional no-broadcast hints (round-5 A/B: 13-25% cost below
-    # 300k rows, OOM-protection needed from the measured 3M cliff)
-    cfg = PRESET_SCALE.with_overrides(no_broadcast_hints=hints_default_for_rows(rows))
+    # 300k rows, OOM-protection needed from the measured 3M cliff);
+    # hints="on"/"off" force it for config-isolation windows
+    cfg = PRESET_SCALE.with_overrides(
+        no_broadcast_hints=(
+            hints == "on" if hints != "auto" else hints_default_for_rows(rows)
+        )
+    )
     corpus = generate_corpus(rows, seed=42, with_images=False, mega_cluster=mega)
     spark = build_session(
         f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
@@ -689,7 +694,9 @@ def run_query_bench(sf_dir: str, cores: int) -> dict:
     return timings
 
 
-def scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
+def scaling_bench(
+    rows: int, lo: int = 8, hi: int = 32, reps: int = 2, hints: str = "auto"
+) -> dict:
     """Same job at N and 4N cores, fresh warm JVM per leg (north-rule proxy).
 
     Legs are INTERLEAVED (lo,hi,lo,hi,…) and the best run per level is kept —
@@ -707,6 +714,8 @@ def scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
                 str(cores),
                 "--rows",
                 str(rows),
+                "--hints",
+                hints,
             ]
             runs[f"local[{cores}]"].append(_run_child(cmd))
     results: dict = {}
@@ -768,6 +777,8 @@ def main() -> None:
                     help="plant one duplicate cluster of this size")
     ap.add_argument("--reps", type=int, default=3,
                     help="timed pipeline reps (min reported)")
+    ap.add_argument("--hints", choices=["auto", "on", "off"], default="auto",
+                    help="force no_broadcast_hints instead of the size rule")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -778,7 +789,8 @@ def main() -> None:
         print(
             json.dumps(
                 run_pipeline_bench(
-                    args.cores, args.rows, mega=args.mega, reps=args.reps
+                    args.cores, args.rows, mega=args.mega, reps=args.reps,
+                    hints=args.hints,
                 )
             )
         )
@@ -789,7 +801,7 @@ def main() -> None:
         return
 
     if args.scaling:
-        print(json.dumps(scaling_bench(args.rows), indent=1))
+        print(json.dumps(scaling_bench(args.rows, hints=args.hints), indent=1))
         return
 
     if args.store_filter:
