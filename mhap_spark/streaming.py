@@ -66,11 +66,18 @@ class BandIndex:
         )
 
     def probe(
-        self, probe_sigs: DataFrame, cfg: MhapConfig, batch_id: int
+        self,
+        probe_sigs: DataFrame,
+        cfg: MhapConfig,
+        batch_id: int,
+        narrow_probe: bool = False,
     ) -> DataFrame | None:
         """(probe_id, index_id, votes ≥ gate) against batches strictly
         earlier than ``batch_id`` — same semantics as
-        candidates.probe_candidates on the accumulated signatures."""
+        candidates.probe_candidates on the accumulated signatures.
+        ``narrow_probe=True`` additionally prunes index partition
+        directories to the probe's pfx set (worth it for lookup-style
+        probes whose band count ≪ n_prefix)."""
         spark = probe_sigs.sparkSession
         if not os.path.exists(self.path):
             return None
@@ -78,13 +85,30 @@ class BandIndex:
             spark.read.option("basePath", self.path)
             .parquet(self.path)
             .where(F.col("batch_id") < F.lit(batch_id))
-            .select("band_hash", F.col("image_id").alias("index_id"))
         )
         probe = probe_sigs.select(
             F.col("image_id").alias("probe_id"),
             F.explode("bands").alias("band_hash"),
         )
         keys = probe.select("band_hash").distinct()
+        if narrow_probe:
+            # lookup-style probes (single items, tiny batches) touch fewer
+            # prefixes than exist — push the literal pfx set into the scan
+            # so whole partition DIRECTORIES are pruned before any IO.  One
+            # bounded driver action (≤ n_prefix ints); wide batches hit
+            # every prefix (batch_rows × n_bands ≫ n_prefix) and should
+            # leave this off.
+            pfx_list = [
+                r["pfx"]
+                for r in keys.select(
+                    F.pmod(F.col("band_hash"), F.lit(self.n_prefix)).alias("pfx")
+                )
+                .distinct()
+                .collect()
+            ]
+            if len(pfx_list) < self.n_prefix:
+                idx = idx.where(F.col("pfx").isin(pfx_list))
+        idx = idx.select("band_hash", F.col("image_id").alias("index_id"))
         # map-side semi filter: broadcast the (bounded) probe band set, scan
         # the (unbounded) index — collision rows only survive
         relevant = idx.join(F.broadcast(keys), ["band_hash"]).persist()
