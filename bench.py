@@ -182,6 +182,53 @@ def run_hints_ab_bench(
     cost.  Reports min-of-N per variant and the ON-vs-OFF delta — the price
     (or not) of the 3M-row broadcast-OOM fix at small scale."""
     from mhap_spark.config import PRESET_SCALE
+
+    return run_cfg_ab_bench(
+        cores,
+        rows_list,
+        {
+            "hints_on": PRESET_SCALE,
+            "hints_off": PRESET_SCALE.with_overrides(no_broadcast_hints=False),
+        },
+        reps=reps,
+        tag="hints",
+    )
+
+
+def run_cache_ab_bench(cores: int, rows_list: list[int], reps: int = 3) -> dict:
+    """Interleaved A/B of the eager signature-cache materialization (round-5
+    action-probe finding): eager ON runs one dedicated cache-fill job before
+    the pairs action; OFF lets the ~10 concurrent AQE stage-jobs first-compute
+    the cache and serialize on per-block locks."""
+    from mhap_spark.config import PRESET_SCALE, hints_default_for_rows
+
+    result: dict = {"cores": cores, "reps": reps, "sizes": {}}
+    for rows in rows_list:
+        base = PRESET_SCALE.with_overrides(
+            no_broadcast_hints=hints_default_for_rows(rows)
+        )
+        sub = run_cfg_ab_bench(
+            cores,
+            [rows],
+            {
+                "eager_on": base,
+                "eager_off": base.with_overrides(eager_signature_cache=False),
+            },
+            reps=reps,
+            tag="cache",
+        )
+        result["sizes"].update(sub["sizes"])
+    return result
+
+
+def run_cfg_ab_bench(
+    cores: int, rows_list: list[int], variants: dict, reps: int = 3,
+    tag: str = "ab",
+) -> dict:
+    """Generic same-window interleaved config A/B: all variants' reps
+    alternate inside ONE warm session per corpus size (host-noise drift
+    cannot masquerade as a config cost); asserts identical outputs across
+    variants and reports min-of-N per variant."""
     from mhap_spark.pipeline import run_pipeline
     from mhap_spark.session import build_session
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
@@ -189,14 +236,10 @@ def run_hints_ab_bench(
     result: dict = {"cores": cores, "reps": reps, "sizes": {}}
     for rows in rows_list:
         spark = build_session(
-            f"bench_hints_ab_{rows}",
+            f"bench_{tag}_ab_{rows}",
             master=f"local[{cores}]",
             shuffle_partitions=max(cores, 8),
         )
-        variants = {
-            "hints_on": PRESET_SCALE,
-            "hints_off": PRESET_SCALE.with_overrides(no_broadcast_hints=False),
-        }
         # warmup both variants (JIT + per-plan codegen are variant-specific)
         wdf = spark.createDataFrame(
             corpus_to_rows(generate_corpus(10_000, seed=1, with_images=False)),
@@ -236,16 +279,17 @@ def run_hints_ab_bench(
                 clusters.unpersist()
                 spark.sparkContext._jvm.System.gc()
                 time.sleep(2.0)
-        assert checks["hints_on"] == checks["hints_off"], checks  # same answer
-        on, off = min(times["hints_on"]), min(times["hints_off"])
-        result["sizes"][str(rows)] = {
-            "hints_on_s": on,
-            "hints_off_s": off,
-            "hints_on_reps": times["hints_on"],
-            "hints_off_reps": times["hints_off"],
-            "hint_cost_pct": round((on - off) / off * 100.0, 1),
-            "pairs_and_clusters": list(checks["hints_on"]),
-        }
+        names = list(variants)
+        assert all(checks[n] == checks[names[0]] for n in names), checks
+        entry: dict = {"pairs_and_clusters": list(checks[names[0]])}
+        for n in names:
+            entry[f"{n}_s"] = min(times[n])
+            entry[f"{n}_reps"] = times[n]
+        a, b = names[0], names[1]
+        entry[f"{a}_vs_{b}_pct"] = round(
+            (min(times[a]) - min(times[b])) / min(times[b]) * 100.0, 1
+        )
+        result["sizes"][str(rows)] = entry
         df.unpersist()
         spark.stop()
     return result
@@ -768,6 +812,9 @@ def main() -> None:
     ap.add_argument("--stage-scaling", action="store_true")
     ap.add_argument("--hints-ab", action="store_true",
                     help="interleaved no-broadcast-hints ON/OFF A/B")
+    ap.add_argument("--cache-ab", action="store_true",
+                    help="interleaved A/B of eager signature-cache "
+                    "materialization (round-5 action-probe finding)")
     ap.add_argument("--index-growth", action="store_true",
                     help="streaming probe latency vs index size, flat vs band layout")
     ap.add_argument("--ab-rows", type=str, default="20000,300000",
@@ -819,6 +866,11 @@ def main() -> None:
     if args.hints_ab:
         rows_list = [int(x) for x in args.ab_rows.split(",") if x]
         print(json.dumps(run_hints_ab_bench(args.cores, rows_list, reps=args.reps)))
+        return
+
+    if args.cache_ab:
+        rows_list = [int(x) for x in args.ab_rows.split(",") if x]
+        print(json.dumps(run_cache_ab_bench(args.cores, rows_list, reps=args.reps)))
         return
 
     if args.index_growth:

@@ -148,6 +148,16 @@ class MhapConfig:
     # stays for unknown-scale callers, where OOM-safety beats small-corpus
     # speed.
     no_broadcast_hints: bool = True
+    # True (default): when the pipeline runs WITHOUT a checkpoint store, the
+    # persisted signature cache is materialized by one dedicated job before
+    # the pairs/CC action.  That action otherwise launches ~10 independent
+    # AQE stage-jobs (one per Exchange over the signature cache) whose plans
+    # all contain the uncomputed Arrow kernel; concurrent first-compute of
+    # the same cache blocks serializes on per-block locks while occupying
+    # every task slot with waiters (tools/action_probe.py, round 5: the
+    # ten-job wave ran 34 s at 32c for ~10.5 s of kernel work).  False keeps
+    # the old fully-lazy behavior (A/B'd by bench.py --cache-ab).
+    eager_signature_cache: bool = True
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048
     salt_buckets: int = 8            # salt fan-out for hot-band pair generation

@@ -74,6 +74,13 @@ def run_pipeline(
             # set — without a checkpoint the Arrow kernel would re-run per
             # consumer; cache is the in-memory stand-in for checkpoint A
             signatures = signatures.persist()
+            if cfg.eager_signature_cache:
+                # materialize the cache with ONE dedicated job before the
+                # big downstream action — otherwise its ~10 concurrent AQE
+                # stage-jobs first-compute the same cache blocks and
+                # serialize on per-block locks (see config.py, measured by
+                # tools/action_probe.py round 5)
+                signatures.count()
 
     # --- stage B: candidate + verified pairs --------------------------------
     funnel_obs: Observation | None = None

@@ -28,6 +28,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=300_000)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--hints",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="no-broadcast hints: auto = size-conditional default",
+    )
     args = ap.parse_args()
 
     evdir = tempfile.mkdtemp(prefix="action_probe_ev_")
@@ -38,9 +44,12 @@ def main() -> None:
     from mhap_spark.session import build_session
     from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 
-    cfg = PRESET_SCALE.with_overrides(
-        no_broadcast_hints=hints_default_for_rows(args.rows)
+    hints = (
+        hints_default_for_rows(args.rows)
+        if args.hints == "auto"
+        else args.hints == "on"
     )
+    cfg = PRESET_SCALE.with_overrides(no_broadcast_hints=hints)
     spark = build_session(
         f"action_probe_{args.cores}",
         master=f"local[{args.cores}]",
@@ -88,9 +97,14 @@ def main() -> None:
             {
                 "rows": args.rows,
                 "cores": args.cores,
+                "no_broadcast_hints": hints,
                 "elapsed_s": round(elapsed, 2),
                 "n_jobs_in_window": len(timed),
                 "jobs_ms": [j["ms"] for j in timed],
+                "jobs_named": [
+                    {"ms": j["ms"], "callsite": j.get("callsite", "")}
+                    for j in timed
+                ],
                 "sum_job_ms": sum(j["ms"] for j in timed),
                 "driver_gap_ms": int(gaps),
             }

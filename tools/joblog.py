@@ -21,37 +21,69 @@ import statistics
 import sys
 
 
+def _event_lines(path: str):
+    """Yield event-log lines from a single-file log, a rolling-log directory
+    (eventlog_v2_*/events_N_* parts, in order), or a .zstd-compressed part."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.startswith("events_")
+        )
+        for p in parts:
+            yield from _event_lines(os.path.join(path, p))
+        return
+    if path.endswith(".zstd"):
+        import subprocess
+
+        out = subprocess.run(
+            ["zstd", "-dc", path], capture_output=True, check=True
+        ).stdout
+        yield from out.decode("utf-8", "replace").splitlines()
+        return
+    with open(path) as f:
+        yield from f
+
+
 def parse(path: str) -> dict:
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                jobs[ev["Job ID"]] = {"start": ev["Submission Time"]}
-            elif kind == "SparkListenerJobEnd":
-                j = jobs.setdefault(ev["Job ID"], {})
-                j["end"] = ev["Completion Time"]
-            elif kind == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                info = ev.get("Task Info", {})
-                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
-                stages.setdefault(sid, {"task_ms": []})["task_ms"].append(dur)
-            elif kind == "SparkListenerStageCompleted":
-                si = ev.get("Stage Info", {})
-                stages.setdefault(si.get("Stage ID"), {"task_ms": []})[
-                    "name"
-                ] = si.get("Stage Name", "")
+    for line in _event_lines(path):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            jobs[ev["Job ID"]] = {
+                "start": ev["Submission Time"],
+                "callsite": props.get("callSite.short", ""),
+                "n_stages": len(ev.get("Stage Infos") or []),
+            }
+        elif kind == "SparkListenerJobEnd":
+            j = jobs.setdefault(ev["Job ID"], {})
+            j["end"] = ev["Completion Time"]
+        elif kind == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            info = ev.get("Task Info", {})
+            dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+            stages.setdefault(sid, {"task_ms": []})["task_ms"].append(dur)
+        elif kind == "SparkListenerStageCompleted":
+            si = ev.get("Stage Info", {})
+            stages.setdefault(si.get("Stage ID"), {"task_ms": []})[
+                "name"
+            ] = si.get("Stage Name", "")
 
     job_rows = []
     for jid, j in sorted(jobs.items()):
         if "start" in j and "end" in j:
             job_rows.append(
-                {"job": jid, "ms": j["end"] - j["start"], "start": j["start"]}
+                {
+                    "job": jid,
+                    "ms": j["end"] - j["start"],
+                    "start": j["start"],
+                    "callsite": j.get("callsite", ""),
+                    "n_stages": j.get("n_stages", 0),
+                }
             )
     stage_rows = []
     for sid, s in sorted(stages.items()):
