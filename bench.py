@@ -739,7 +739,12 @@ def run_query_bench(sf_dir: str, cores: int) -> dict:
 
 
 def scaling_bench(
-    rows: int, lo: int = 8, hi: int = 32, reps: int = 2, hints: str = "auto"
+    rows: int,
+    lo: int = 8,
+    hi: int = 32,
+    reps: int = 2,
+    hints: str = "auto",
+    child_reps: int | None = None,
 ) -> dict:
     """Same job at N and 4N cores, fresh warm JVM per leg (north-rule proxy).
 
@@ -761,6 +766,8 @@ def scaling_bench(
                 "--hints",
                 hints,
             ]
+            if child_reps:
+                cmd += ["--reps", str(child_reps)]
             runs[f"local[{cores}]"].append(_run_child(cmd))
     results: dict = {}
     for level, rs in runs.items():
@@ -827,6 +834,10 @@ def main() -> None:
     ap.add_argument("--hints", choices=["auto", "on", "off"], default="auto",
                     help="force no_broadcast_hints instead of the size rule")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--lo", type=int, default=8, help="low core count for --scaling")
+    ap.add_argument("--hi", type=int, default=32, help="high core count for --scaling")
+    ap.add_argument("--scaling-reps", type=int, default=2,
+                    help="interleaved child runs per level for --scaling")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -848,7 +859,19 @@ def main() -> None:
         return
 
     if args.scaling:
-        print(json.dumps(scaling_bench(args.rows, hints=args.hints), indent=1))
+        print(
+            json.dumps(
+                scaling_bench(
+                    args.rows,
+                    lo=args.lo,
+                    hi=args.hi,
+                    reps=args.scaling_reps,
+                    hints=args.hints,
+                    child_reps=args.reps,
+                ),
+                indent=1,
+            )
+        )
         return
 
     if args.store_filter:
