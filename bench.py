@@ -49,8 +49,11 @@ def _pair_recall(assign: dict[str, str], true_cluster, image_id) -> float:
 def _run_child(cmd: list[str]) -> dict:
     """Run a bench child process, surface its stderr on failure, parse the
     JSON result line (round-2 ADVICE: a crashed child used to die as an
-    opaque IndexError with stderr discarded)."""
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    opaque IndexError with stderr discarded).  The guardrail timeout is
+    env-overridable: the 1M-row 8-core stage child legitimately needs
+    more than the 1800 s default."""
+    timeout = int(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "1800"))
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     if out.returncode != 0:
         raise RuntimeError(
             f"bench child {cmd} exited {out.returncode}:\n{out.stderr[-4000:]}"
@@ -883,7 +886,14 @@ def main() -> None:
         return
 
     if args.stage_scaling:
-        print(json.dumps(stage_scaling_bench(args.rows), indent=1))
+        print(
+            json.dumps(
+                stage_scaling_bench(
+                    args.rows, lo=args.lo, hi=args.hi, reps=args.scaling_reps
+                ),
+                indent=1,
+            )
+        )
         return
 
     if args.hints_ab:
