@@ -66,9 +66,32 @@ def _run_child(cmd: list[str]) -> dict:
     return json.loads(lines[-1])
 
 
+def _ship_package(spark) -> None:
+    """Ship mhap_spark to executor python workers as a --py-files-style zip.
+
+    Required for multi-JVM masters (local-cluster): cloudpickle serializes
+    the Arrow-kernel closures BY REFERENCE to ``mhap_spark.*`` modules, so
+    each executor's python worker must be able to import the package —
+    exactly the ``spark-submit --py-files mhap_spark.zip`` deployment shape
+    (tests/test_spark_submit.py proves the external path)."""
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="mhap_pyfiles_"), "mhap_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        pkg = os.path.join(repo, "mhap_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def run_pipeline_bench(
     cores: int, rows: int = PIPELINE_ROWS, warmup: bool = True, reps: int = 3,
-    mega: int = 0, hints: str = "auto",
+    mega: int = 0, hints: str = "auto", master: str | None = None,
 ) -> dict:
     """Synth corpus → full pipeline (web-scale star preset at the reference's
     512-hash sketch config); returns timings, funnel counts, planted recall.
@@ -98,9 +121,26 @@ def run_pipeline_bench(
         )
     )
     corpus = generate_corpus(rows, seed=42, with_images=False, mega_cluster=mega)
+    extra = None
+    if master:
+        # multi-JVM masters spawn executors that fork their own python
+        # workers — pin them to this interpreter
+        extra = {"spark.pyspark.python": sys.executable}
+        if master.startswith("local-cluster["):
+            # local-cluster[n, c, mem] sizes the WORKER's allotment; the
+            # executor JVM still requests spark.executor.memory (default
+            # 1 GiB) from it — claim the whole worker or the heap OOMs at
+            # corpus scale while most of the granted memory sits unused
+            mem_mb = master[len("local-cluster["):-1].split(",")[2].strip()
+            extra["spark.executor.memory"] = f"{mem_mb}m"
     spark = build_session(
-        f"bench_pipeline_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
+        f"bench_pipeline_{cores}",
+        master=master or f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra=extra,
     )
+    if master and master.startswith("local-cluster"):
+        _ship_package(spark)
     if warmup:
         wdf = spark.createDataFrame(
             corpus_to_rows(generate_corpus(10_000, seed=1, with_images=False)),
@@ -784,6 +824,66 @@ def scaling_bench(
     return results
 
 
+def exec_scaling_bench(
+    rows: int,
+    execs_lo: int = 1,
+    execs_hi: int = 4,
+    exec_cores: int = 8,
+    exec_mem_mb: int = 16384,
+    reps: int = 2,
+    child_reps: int | None = None,
+) -> dict:
+    """The north rule's two-cluster-size criterion with REAL executor JVMs.
+
+    ``local-cluster[n, c, m]`` is Spark's multi-executor test master: it
+    spawns n worker processes, each hosting one executor JVM with c cores
+    and m MB — separate heaps, separate GC, separate python-worker pools,
+    shuffle fetched over netty between processes.  Comparing
+    local-cluster[N,c,m] to local-cluster[4N,c,m] is therefore the closest
+    sandbox realization of "N and 4N executors" — unlike local[8]→local[32]
+    it also scales executor MEMORY 4×, exactly as adding machines to a real
+    cluster does (each leg keeps the same per-executor resources).  Legs
+    interleaved, min-of-N per level, correctness asserted identical."""
+    masters = {
+        n: f"local-cluster[{n},{exec_cores},{exec_mem_mb}]"
+        for n in (execs_lo, execs_hi)
+    }
+    runs: dict[int, list[dict]] = {execs_lo: [], execs_hi: []}
+    for _ in range(reps):
+        for n in (execs_lo, execs_hi):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--pipeline-only",
+                "--cores", str(n * exec_cores),
+                "--rows", str(rows),
+                "--master-str", masters[n],
+            ]
+            if child_reps:
+                cmd += ["--reps", str(child_reps)]
+            runs[n].append(_run_child(cmd))
+    results: dict = {"rows": rows, "exec_cores": exec_cores,
+                     "exec_mem_mb": exec_mem_mb}
+    for n, rs in runs.items():
+        counts = {
+            (r["n_candidate_pairs"], r["n_verified_pairs"], r["n_clusters"])
+            for r in rs
+        }
+        assert len(counts) == 1, f"output diverged across reps at {n} executors"
+        best = min(rs, key=lambda r: r["elapsed_s"])
+        results[f"executors={n}"] = {**best, "all_elapsed_s": [r["elapsed_s"] for r in rs]}
+    lo_counts = results[f"executors={execs_lo}"]["n_candidate_pairs"]
+    hi_counts = results[f"executors={execs_hi}"]["n_candidate_pairs"]
+    assert lo_counts == hi_counts, "output diverged across executor counts"
+    t_lo = results[f"executors={execs_lo}"]["candidate_pairs_per_sec"]
+    t_hi = results[f"executors={execs_hi}"]["candidate_pairs_per_sec"]
+    results["executors_ratio"] = execs_hi / execs_lo
+    results["throughput_ratio"] = round(t_hi / t_lo, 3)
+    results["scaling_efficiency"] = round(
+        (t_hi / t_lo) / (execs_hi / execs_lo), 3
+    )
+    return results
+
+
 def stage_scaling_bench(rows: int, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     """Per-stage seconds at both parallelism levels (interleaved, min-of-N —
     see scaling_bench) plus per-stage speedup and efficiency."""
@@ -837,6 +937,15 @@ def main() -> None:
     ap.add_argument("--hints", choices=["auto", "on", "off"], default="auto",
                     help="force no_broadcast_hints instead of the size rule")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--master-str", default=None,
+                    help="explicit master for --pipeline-only (e.g. "
+                    "local-cluster[4,8,16384] for real executor JVMs)")
+    ap.add_argument("--exec-scaling", action="store_true",
+                    help="N vs 4N REAL executor JVMs via local-cluster")
+    ap.add_argument("--execs", type=str, default="1,4",
+                    help="lo,hi executor counts for --exec-scaling")
+    ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--exec-mem-mb", type=int, default=16384)
     ap.add_argument("--lo", type=int, default=8, help="low core count for --scaling")
     ap.add_argument("--hi", type=int, default=32, help="high core count for --scaling")
     ap.add_argument("--scaling-reps", type=int, default=2,
@@ -851,8 +960,22 @@ def main() -> None:
             json.dumps(
                 run_pipeline_bench(
                     args.cores, args.rows, mega=args.mega, reps=args.reps,
-                    hints=args.hints,
+                    hints=args.hints, master=args.master_str,
                 )
+            )
+        )
+        return
+
+    if args.exec_scaling:
+        lo, hi = (int(x) for x in args.execs.split(","))
+        print(
+            json.dumps(
+                exec_scaling_bench(
+                    args.rows, execs_lo=lo, execs_hi=hi,
+                    exec_cores=args.exec_cores, exec_mem_mb=args.exec_mem_mb,
+                    reps=args.scaling_reps, child_reps=args.reps,
+                ),
+                indent=1,
             )
         )
         return

@@ -18,6 +18,12 @@ def build_session(
     n_cores = int(cores) if cores.isdigit() else 32
     if master.startswith("local[") and master[6:-1].isdigit():
         n_cores = int(master[6:-1])
+    elif master.startswith("local-cluster["):
+        # local-cluster[n_exec, cores_per_exec, mem_mb] — real executor JVMs
+        # (Spark's multi-executor test master); total cores = n * c
+        parts = master[len("local-cluster["):-1].split(",")
+        if len(parts) == 3:
+            n_cores = int(parts[0].strip()) * int(parts[1].strip())
     # 4 partitions per core: smaller per-task hash maps/sorts (less spill at
     # high slot counts) and better stragglers; AQE coalesces tiny ones back
     shuffle_partitions = shuffle_partitions or max(4 * n_cores, 16)
@@ -30,6 +36,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # cached-batch rows carry ~12 KiB sketch arrays; the 10k-row default
+        # makes each column builder allocate >100 MiB transiently (×2 on
+        # growth, ×cores tasks) — OOMs a bounded executor heap outright.
+        # 2048 matches the Arrow batch size and keeps peak build ~25 MiB.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # local-mode artifact: executors ARE the driver process, so work that
         # a cluster keeps executor-side (e.g. localCheckpoint block
