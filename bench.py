@@ -832,6 +832,7 @@ def exec_scaling_bench(
     exec_mem_mb: int = 16384,
     reps: int = 2,
     child_reps: int | None = None,
+    hints: str = "auto",
 ) -> dict:
     """The north rule's two-cluster-size criterion with REAL executor JVMs.
 
@@ -857,6 +858,7 @@ def exec_scaling_bench(
                 "--cores", str(n * exec_cores),
                 "--rows", str(rows),
                 "--master-str", masters[n],
+                "--hints", hints,
             ]
             if child_reps:
                 cmd += ["--reps", str(child_reps)]
@@ -974,6 +976,7 @@ def main() -> None:
                     args.rows, execs_lo=lo, execs_hi=hi,
                     exec_cores=args.exec_cores, exec_mem_mb=args.exec_mem_mb,
                     reps=args.scaling_reps, child_reps=args.reps,
+                    hints=args.hints,
                 ),
                 indent=1,
             )
