@@ -84,9 +84,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     This is the latency-regime counterpart of the distributed loop
     (BENCH/BASELINE.md CC regime table: below ~1M edges every superstep is
     task-launch latency, not compute): one Arrow collect (≤ cutoff edges ×
-    two short ids — tens of MB) + a linear union-find replaces 5+ shuffle
-    stages × O(log n) rounds.  Only ever invoked under an explicit edge-count
-    cutoff, so the collect is bounded by configuration, not by data."""
+    two short ids — a few hundred MB at the 8M default) + a linear
+    union-find replaces 5+ shuffle stages × O(log n) rounds.  The measured
+    crossover sits ABOVE the default (round 5, tools/cc_microbench.py:
+    at 8M edges, identical checksums, 144 s here vs 266 s for the loop at
+    32 cores in the same window).  Only ever invoked under an explicit
+    edge-count cutoff, so the collect is bounded by configuration, not by
+    data."""
     import numpy as np
     import pandas as pd
 

@@ -128,11 +128,16 @@ class MhapConfig:
     cc_max_iters: int = 50
     # edge sets at/below this run the CC finish as ONE driver union-find
     # instead of latency-bound supersteps (cluster.py _driver_union_find —
-    # bounded Arrow collect ≈ cutoff × two short ids, tens of MB).  The
-    # distributed loop regime is unaffected: at scale the edge count sits
-    # orders of magnitude above this.  0 disables (pure-loop mode, used by
-    # the CC microbench and loop-parity tests).
-    cc_driver_finish_edges: int = 2_000_000
+    # bounded Arrow collect ≈ cutoff × two short ids, a few hundred MB at
+    # the default, well under driver.maxResultSize).  Default = the
+    # measured crossover bound (tools/cc_microbench.py --driver-finish,
+    # BENCH/BASELINE.md round 5): at 8M edges the union-find still beats
+    # the superstep loop 1.85× at full 32-core width, and by more at
+    # lower widths — so 8M is conservative.  The distributed loop regime
+    # is unaffected: at the 10^12-row design point (≈3×10^9 edges) the
+    # count sits orders of magnitude above this.  0 disables (pure-loop
+    # mode, used by the CC microbench and loop-parity tests).
+    cc_driver_finish_edges: int = 8_000_000
 
     # --- execution ---
     # True (default): every corpus-scaled join side carries an explicit

@@ -3,7 +3,13 @@ edge set shaped like the flagship pipeline's verified pairs (star components
 from Zipf-planted clusters), optionally with AQE disabled inside the loop.
 
 Usage: python tools/cc_microbench.py [--cores N] [--edges N] [--no-aqe]
+                                     [--driver-finish N]
 Prints one JSON line {cores, edges, aqe, elapsed_s, n_clusters, checksum}.
+
+``--driver-finish N`` passes cc_driver_finish_edges=N so the same edge set
+runs through the bounded driver union-find instead of the superstep loop —
+the crossover measurement that sizes the config default (identical
+checksum = identical clustering either way).
 """
 
 from __future__ import annotations
@@ -45,6 +51,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--edges", type=int, default=900_000)
     ap.add_argument("--no-aqe", action="store_true")
+    ap.add_argument("--driver-finish", type=int, default=0,
+                    help="cc_driver_finish_edges cutoff (0 = pure loop)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -73,7 +81,9 @@ def main() -> None:
     connected_components(edges.limit(20_000), verts.limit(100)).count()
 
     t0 = time.time()
-    out = connected_components(edges, verts).persist()
+    out = connected_components(
+        edges, verts, driver_finish_edges=args.driver_finish
+    ).persist()
     n = out.count()
     elapsed = time.time() - t0
     n_clusters = out.select("cluster_id").distinct().count()
@@ -86,6 +96,7 @@ def main() -> None:
                 "cores": args.cores,
                 "edges": len(rows),
                 "aqe": not args.no_aqe,
+                "driver_finish": args.driver_finish,
                 "elapsed_s": round(elapsed, 2),
                 "n_assignments": n,
                 "n_clusters": n_clusters,
