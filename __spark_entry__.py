@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mhap_spark.config import MhapConfig
+from mhap_spark.config import MhapConfig, hints_default_for_rows
 
 _DOC_CFG = MhapConfig(
     num_hashes=128,
@@ -31,6 +31,9 @@ _DOC_CFG = MhapConfig(
     num_min_matches=2,
     use_phash_shingles=False,
     min_jaccard=0.5,
+    # documents tables are ≤5k rows at every test SF — far below the
+    # measured 1M-row broadcast-OOM margin, so the size rule applies
+    no_broadcast_hints=hints_default_for_rows(5000),
 )
 
 
@@ -568,7 +571,11 @@ def _q_mhap_cluster_sizes(spark, sf_dir):
     END-TO-END output value-for-value."""
     from mhap_spark.pipeline import run_pipeline
 
-    out = run_pipeline(spark, _synth_df(spark), MhapConfig(num_hashes=128))
+    out = run_pipeline(
+        spark,
+        _synth_df(spark),
+        MhapConfig(num_hashes=128, no_broadcast_hints=hints_default_for_rows(600)),
+    )
     return (
         out["clusters"]
         .groupBy("cluster_id")
@@ -878,7 +885,11 @@ def _q_roc_stats_synth(spark, sf_dir):
 
     n = 600
     corpus = generate_corpus(n, seed=42)
-    out = run_pipeline(spark, _synth_df(spark, n), MhapConfig(num_hashes=128))
+    out = run_pipeline(
+        spark,
+        _synth_df(spark, n),
+        MhapConfig(num_hashes=128, no_broadcast_hints=hints_default_for_rows(n)),
+    )
     truth = spark.createDataFrame(
         list(zip(corpus["image_id"], [int(c) for c in corpus["true_cluster"]])),
         "image_id string, true_cluster long",

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from mhap_spark.config import MhapConfig
+from mhap_spark.config import MhapConfig, hints_default_for_rows
 from mhap_spark.hashing import caption_kgram_hashes_batch, fmix64
 
 
@@ -111,7 +111,14 @@ def minhash_lsh_doc_pairs(
     from mhap_spark.minhash import compute_signatures
 
     cfg = cfg or MhapConfig(
-        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
+        num_hashes=128,
+        rows_per_band=4,
+        num_min_matches=2,
+        use_phash_shingles=False,
+        # default config is the small-corpus demo shape (contract documents
+        # tables, ≤5k rows) — size rule says broadcasts are safe; callers
+        # at corpus scale pass their own cfg
+        no_broadcast_hints=hints_default_for_rows(5000),
     )
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),
