@@ -873,8 +873,16 @@ def exec_scaling_bench(
         assert len(counts) == 1, f"output diverged across reps at {n} executors"
         best = min(rs, key=lambda r: r["elapsed_s"])
         results[f"executors={n}"] = {**best, "all_elapsed_s": [r["elapsed_s"] for r in rs]}
-    lo_counts = results[f"executors={execs_lo}"]["n_candidate_pairs"]
-    hi_counts = results[f"executors={execs_hi}"]["n_candidate_pairs"]
+    # the full funnel must match across executor counts — a divergence in
+    # verify or CC with equal candidate counts would otherwise slip through
+    lo_counts = tuple(
+        results[f"executors={execs_lo}"][k]
+        for k in ("n_candidate_pairs", "n_verified_pairs", "n_clusters")
+    )
+    hi_counts = tuple(
+        results[f"executors={execs_hi}"][k]
+        for k in ("n_candidate_pairs", "n_verified_pairs", "n_clusters")
+    )
     assert lo_counts == hi_counts, "output diverged across executor counts"
     t_lo = results[f"executors={execs_lo}"]["candidate_pairs_per_sec"]
     t_hi = results[f"executors={execs_hi}"]["candidate_pairs_per_sec"]

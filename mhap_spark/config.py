@@ -195,9 +195,22 @@ class MhapConfig:
         n = self.num_hashes
         return int(n * (1.0 - j) / 2.0 + self.prefilter_margin_sd * math.sqrt(n) / 2.0)
 
+    # knobs that change the physical plan but provably not the output
+    # (byte-identical A/B on record: BENCH/HINTS_AB_raw.json, CACHE_AB_raw) —
+    # excluded from config_hash so toggling them between a write and a
+    # resume does not silently invalidate checkpoints and recompute stages
+    _EXECUTION_ONLY_KNOBS = ("no_broadcast_hints", "eager_signature_cache")
+
     def config_hash(self) -> str:
-        """Stable hash of all semantic knobs — keys checkpoint manifests."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable hash of all semantic knobs — keys checkpoint manifests.
+        Execution-only knobs (same output, different plan) are excluded:
+        a checkpoint written with hints ON must be resumable with hints
+        OFF (the CLI auto-derives the hint default from --rows, so the
+        same logical run can legitimately see both values)."""
+        d = asdict(self)
+        for k in self._EXECUTION_ONLY_KNOBS:
+            d.pop(k, None)
+        payload = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
     def with_overrides(self, **kw) -> "MhapConfig":

@@ -110,16 +110,18 @@ def minhash_lsh_doc_pairs(
     from mhap_spark.candidates import candidate_pairs
     from mhap_spark.minhash import compute_signatures
 
-    cfg = cfg or MhapConfig(
-        num_hashes=128,
-        rows_per_band=4,
-        num_min_matches=2,
-        use_phash_shingles=False,
-        # default config is the small-corpus demo shape (contract documents
-        # tables, ≤5k rows) — size rule says broadcasts are safe; callers
-        # at corpus scale pass their own cfg
-        no_broadcast_hints=hints_default_for_rows(5000),
-    )
+    if cfg is None:
+        # unknown-scale entry point: resolve the broadcast-safety rule from
+        # the ACTUAL input size (one cheap count job) rather than assuming
+        # the small-corpus demo shape — a multi-million-row df through the
+        # hints-off path is exactly the round-4 AQE-broadcast-OOM cliff
+        cfg = MhapConfig(
+            num_hashes=128,
+            rows_per_band=4,
+            num_min_matches=2,
+            use_phash_shingles=False,
+            no_broadcast_hints=hints_default_for_rows(df.count()),
+        )
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),
         F.col(text_col).alias("caption"),

@@ -165,7 +165,10 @@ class IncrementalDedup:
     unchanged (slices strictly earlier than the current batch_id).  Sized
     for hot-window deployments; at 10^12 rows use ``band_index=True``
     (BandIndex — the band-partitioned layout whose probe never shuffles
-    the index; measured vs flat in BENCH/BASELINE.md round 5)."""
+    the index; measured vs flat in BENCH/BASELINE.md round 5).  The two
+    flags are mutually exclusive (the band probe never reads the slice
+    cache, so pinning slices would only leak storage memory);
+    ``band_index`` wins when both are passed."""
 
     def __init__(
         self,
@@ -178,7 +181,11 @@ class IncrementalDedup:
         self.base_dir = base_dir
         self.cfg = cfg
         self.freq = freq
-        self.cache_index = cache_index
+        # the band-index probe never reads the signature-slice cache, so
+        # pinning a per-batch slice every micro-batch would grow executor
+        # storage memory linearly with stream lifetime for zero benefit —
+        # the flags are mutually exclusive and band_index wins
+        self.cache_index = cache_index and not band_index
         self._slices: list[tuple[int, DataFrame]] = []  # (batch_id, persisted df)
         self.sig_path = os.path.join(base_dir, "signatures")
         self.match_path = os.path.join(base_dir, "matches")

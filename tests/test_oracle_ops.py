@@ -61,7 +61,11 @@ def test_hllpp_replica_matches_spark_exactly(spark):
     from mhap_spark.oracle_ops import hllpp_count_distinct
 
     rng = random.Random(7)
-    for n in [1, 10, 100, 500, 1200, 2600, 5000, 20000]:
+    # 15 points: linear-counting regime (≤ ~2.5m), its boundary, the
+    # bias-corrected mid band 1300–2500 where the knot interpolation acts,
+    # and the uncorrected high regime
+    for n in [1, 10, 100, 420, 500, 800, 1200, 1400, 1800, 2200, 2600,
+              3500, 5000, 20000, 50000]:
         vals = [rng.randrange(-2**62, 2**62) for _ in range(n)]
         vals = vals + vals[: n // 3]  # duplicates must not move the estimate
         df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(8)

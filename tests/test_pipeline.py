@@ -142,3 +142,18 @@ def test_image_stats_handles_bad_rows(spark):
     got = {r["image_id"]: r for r in image_stats(df).collect()}
     assert not got["good"]["decode_ok"] and "unsupported" in got["good"]["decode_error"]
     assert not got["corrupt"]["decode_ok"] and "decode failed" in got["corrupt"]["decode_error"]
+
+
+def test_config_hash_ignores_execution_only_knobs():
+    """no_broadcast_hints / eager_signature_cache change the physical plan
+    but provably not the output (BENCH/HINTS_AB_raw.json, CACHE_AB_raw) —
+    toggling them between a checkpoint write and a resume must NOT
+    invalidate the manifest (the CLI auto-derives the hint default from
+    --rows, so one logical run can see both values)."""
+    cfg = MhapConfig()
+    toggled = cfg.with_overrides(
+        no_broadcast_hints=not cfg.no_broadcast_hints,
+        eager_signature_cache=not cfg.eager_signature_cache,
+    )
+    assert cfg.config_hash() == toggled.config_hash()
+    assert cfg.config_hash() != cfg.with_overrides(num_hashes=cfg.num_hashes + 1).config_hash()

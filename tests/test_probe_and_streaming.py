@@ -348,3 +348,14 @@ def test_band_index_narrow_probe_prunes_and_matches(spark, tmp_path):
     }
     probe.unpersist()
     assert wide == narrow
+
+
+def test_band_index_disables_slice_cache(tmp_path):
+    """band_index=True never reads the per-batch signature-slice cache, so
+    cache_index must be forced off when both are passed — otherwise every
+    micro-batch pins a slice that is never consumed (unbounded executor
+    storage-memory growth over the stream's lifetime)."""
+    sink = IncrementalDedup(str(tmp_path), CFG, cache_index=True, band_index=True)
+    assert sink.cache_index is False and sink.bindex is not None
+    flat = IncrementalDedup(str(tmp_path), CFG, cache_index=True)
+    assert flat.cache_index is True and flat.bindex is None

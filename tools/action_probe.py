@@ -91,7 +91,22 @@ def main() -> None:
     )
     parsed = parse(files[-1])
     timed = [j for j in parsed["jobs"] if t0_ms <= j.get("start", 0) <= t1_ms]
-    gaps = elapsed * 1000 - sum(j["ms"] for j in timed)
+    # driver gap = wall time not covered by ANY job.  Concurrent jobs (AQE
+    # stage-jobs overlap routinely) make sum(ms) exceed busy wall time, so
+    # the gap must come from the interval UNION, not the sum — otherwise it
+    # under-reports or goes negative exactly on the runs being probed.
+    covered = 0
+    cur_s = cur_e = None
+    for s, e in sorted((j["start"], j["start"] + j["ms"]) for j in timed):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        covered += cur_e - cur_s
+    gaps = elapsed * 1000 - covered
     print(
         json.dumps(
             {
@@ -106,6 +121,7 @@ def main() -> None:
                     for j in timed
                 ],
                 "sum_job_ms": sum(j["ms"] for j in timed),
+                "covered_job_ms": int(covered),
                 "driver_gap_ms": int(gaps),
             }
         )

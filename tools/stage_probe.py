@@ -86,12 +86,17 @@ def main() -> None:
         if stage == "verify":
             return verified_pairs(cands, sigs, cfg)
         if stage == "cc":
-            return connected_components(pairs, sigs.select("image_id"))
+            return connected_components(
+                pairs,
+                sigs.select("image_id"),
+                no_broadcast_hints=cfg.no_broadcast_hints,
+            )
         if stage == "cc_driver_finish":
             return connected_components(
                 pairs,
                 sigs.select("image_id"),
                 driver_finish_edges=cfg.cc_driver_finish_edges,
+                no_broadcast_hints=cfg.no_broadcast_hints,
             )
         raise SystemExit(f"unknown stage {stage}")
 
