@@ -240,9 +240,7 @@ def probe_candidates(
     the bucket counts/cap/max metrics are exact for the index."""
     probe = exploded_bands(probe_sigs).withColumnRenamed("image_id", "probe_id")
     index = exploded_bands(indexed_sigs).withColumnRenamed("image_id", "index_id")
-    sizes = index.groupBy("band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    )
+    sizes = bucket_sizes(index)
     if funnel_obs is not None:
         sizes = sizes.observe(funnel_obs, *_funnel_exprs(cfg))
     index_ok = index.join(

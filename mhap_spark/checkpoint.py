@@ -68,6 +68,19 @@ class CheckpointStore:
             json.dump(m, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)
 
+    def _update_manifest(self, mutate) -> None:
+        """Read-modify-write under an exclusive flock: two runs sharing a
+        base_dir (e.g. concurrent benches) must not lose each other's stage
+        entries to a stale read — os.replace alone only makes each WRITE
+        atomic, not the read-modify-write."""
+        import fcntl
+
+        with open(self._manifest_path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            m = self._manifest()
+            mutate(m)
+            self._save_manifest(m)
+
     def has(self, stage: str, config_hash: str) -> bool:
         entry = self._manifest().get(stage)
         if entry is None or entry.get("config_hash") != config_hash:
@@ -89,6 +102,11 @@ class CheckpointStore:
         partitions actually materialized on disk, not a pre-write shadow
         evaluation (round-1 ADVICE fix)."""
         spark = df.sparkSession
+        # invalidate BEFORE the overwrite: a crash between the data write and
+        # the manifest update must leave NO entry for this stage (→ recompute
+        # on resume) — never a stale entry whose config_hash still matches a
+        # previous run while the directory holds partial data from this one
+        self._update_manifest(lambda m: m.pop(stage, None))
         if self.fmt == "iceberg":
             df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
             out = spark.read.table(self._table(stage))
@@ -103,8 +121,7 @@ class CheckpointStore:
             lineage = {str(r["part_id"]): int(r["rows"]) for r in lineage_df.collect()}
         else:
             lineage = None
-        m = self._manifest()
-        m[stage] = {
+        entry = {
             "config_hash": config_hash,
             "rows": sum(lineage.values()) if lineage else out.count(),
             "partitions": lineage,
@@ -112,7 +129,7 @@ class CheckpointStore:
             "written_at": time.time(),
             "format": self.fmt,
         }
-        self._save_manifest(m)
+        self._update_manifest(lambda m: m.__setitem__(stage, entry))
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:

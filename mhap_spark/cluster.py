@@ -128,8 +128,16 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             "cluster_id": ids_by_rank[roots[member]],
         }
     )
+    # the CC API is id-type-agnostic (the star loop, checksums and joins all
+    # are) — derive the output type from the edges instead of assuming string
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
     return edges.sparkSession.createDataFrame(
-        out, "image_id string, cluster_id string"
+        out,
+        StructType(
+            [StructField("image_id", id_type), StructField("cluster_id", id_type)]
+        ),
     )
 
 
@@ -204,10 +212,12 @@ def connected_components(
     # dedup at session width AND yields the count that sizes the loop
     edges = edges.localCheckpoint(eager=False)
     member_root = None
+    converged = True
     prev = _checksum(edges)
     if 0 < prev[0] <= driver_finish_edges:
         member_root = _driver_union_find(edges)
     elif prev[0] > 0:
+        converged = False
         w = width(prev[0])
         for _ in range(0, max_iters, check_every):
             for _r in range(check_every):
@@ -217,14 +227,25 @@ def connected_components(
             edges = edges.localCheckpoint(eager=False)
             cur = _checksum(edges)
             if cur == prev:
+                converged = True
                 break
             if 0 < cur[0] <= driver_finish_edges:
                 member_root = _driver_union_find(edges)
+                converged = True
                 break
             prev = cur
             w = width(cur[0])
 
     if member_root is None:
+        if not converged:
+            # a non-fixpoint edge set is NOT a (member → root) mapping —
+            # reading it as one returns duplicated/conflicting assignments;
+            # fail loudly instead of silently emitting wrong clusters
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"large/small-star rounds (edge checksum still changing: "
+                f"{prev}); raise max_iters or driver_finish_edges"
+            )
         # At the fixpoint every edge is (member → root). Roots + singletons
         # map to self.
         member_root = edges.select(

@@ -111,13 +111,16 @@ class MhapConfig:
     prefilter_margin_sd: float = 6.0
 
     # min-length load filter (mhap/main/MhapMain.java:79-81 minOlapLength
-    # analog): rows with fewer distinct shingles than this are dropped
-    # entirely after sketching — too short to carry near-dup signal; 0 keeps
-    # the round-1 behavior (degenerate rows ride through with zeroed sigs)
+    # analog): rows whose TOTAL shingle count (multiset, duplicates kept —
+    # the n_shingles column; the analog of the reference's sequence length,
+    # not its distinct-k-mer count) is below this are dropped entirely after
+    # sketching — too short to carry near-dup signal; 0 keeps the round-1
+    # behavior (degenerate rows ride through with zeroed sigs)
     min_shingles: int = 0
     # store filter (mhap/main/MhapMain.java:79 --min-store-length;
     # mhap/impl/MinHashSearch.java index insertion): rows below this many
-    # shingles are NOT stored in the band index but still PROBE it, so a
+    # total shingles (same multiset count as min_shingles) are NOT stored
+    # in the band index but still PROBE it, so a
     # (short, long) pair is found via the long row's index entry while
     # (short, short) pairs are skipped — the reference's asymmetric
     # index-size/recall trade.  0 disables (symmetric index).  Pairs/join

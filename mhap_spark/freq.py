@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from mhap_spark.config import MhapConfig
-from mhap_spark.shingles import batch_shingles, distinct_per_row
+from mhap_spark.shingles import batch_shingles, distinct_per_row, shingle_input
 
 
 def sample_rows(pdf: pd.DataFrame, mod: int) -> pd.DataFrame:
@@ -52,7 +52,9 @@ def distinct_shingle_df(df: DataFrame, cfg: MhapConfig) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = sample_rows(pdf, cfg.freq_sample_mod)
-            flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
+            flat, offs = batch_shingles(
+                pdf["caption"], pdf["phash"], cfg, pdf["phash_is_null"]
+            )
             _, keys, _, _ = distinct_per_row(flat, offs)
             n = len(keys)
             yield pd.DataFrame(
@@ -69,7 +71,7 @@ def distinct_shingle_df(df: DataFrame, cfg: MhapConfig) -> DataFrame:
                 }
             )
 
-    return df.select("image_id", "caption", "phash").mapInPandas(gen, schema)
+    return shingle_input(df).mapInPandas(gen, schema)
 
 
 def sampled_doc_count(df: DataFrame, cfg: MhapConfig) -> int:
@@ -276,7 +278,14 @@ class FreqTable:
     def _bounds(self) -> tuple[float, float, float]:
         max_value = float(self.ratios.max()) if len(self.ratios) else 1.0
         min_idf = float(np.log(max_value / max_value - self.cfg_offset))
-        max_idf = float(np.log(max_value / self.filter_cutoff - self.cfg_offset))
+        # filter_cutoff=0 ("retain everything") has no finite idf ceiling —
+        # anchor the span at the rarest OBSERVED ratio instead, so the
+        # rarest retained shingle maps to the max weight (mirrored in
+        # oracle.FreqFilter for parity)
+        cutoff = self.filter_cutoff
+        if cutoff <= 0.0:
+            cutoff = float(self.ratios.min()) if len(self.ratios) else 1.0
+        max_idf = float(np.log(max_value / cutoff - self.cfg_offset))
         return max_value, min_idf, max_idf
 
     def scaled_idf(self, keys: np.ndarray) -> np.ndarray:
@@ -288,7 +297,9 @@ class FreqTable:
         pos = np.searchsorted(self.keys, keys)
         pos_c = np.minimum(pos, len(self.keys) - 1)
         hit = self.keys[pos_c] == keys
-        if max_idf == min_idf:
+        # idf_scale=1 means "scale every idf into [1,1]" — flat weighting,
+        # not a division by (idf_scale − 1) = 0
+        if max_idf == min_idf or self.cfg_idf_scale <= 1.0:
             out[hit] = 1.0
             return out
         scale = (max_idf - min_idf) / (self.cfg_idf_scale - 1.0)

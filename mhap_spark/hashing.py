@@ -129,11 +129,45 @@ def phash_ngram_hashes(phash: np.ndarray, width: int) -> np.ndarray:
 
 
 def string_id_hash63(ids) -> np.ndarray:
-    """Deterministic 63-bit surrogate for string ids (FNV-1a-64 → fmix64 → >>1)."""
-    out = np.empty(len(ids), dtype=np.uint64)
-    for i, s in enumerate(ids):
-        h = 0xCBF29CE484222325
-        for b in s.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return fmix64(out) >> np.uint64(1)
+    """Deterministic 63-bit surrogate for string ids (FNV-1a-64 → fmix64 → >>1).
+
+    Vectorized across the batch: the FNV chain is sequential per BYTE
+    POSITION, not per id, so the loop runs max_len times over the whole
+    batch instead of len(id) times per row — this sits inside the df-ratio
+    scan's Arrow kernel on 100% of rows whenever freq sampling is on
+    (PRESET_SCALE), where a per-row per-byte Python loop was the one
+    remaining per-row-Python hot path."""
+    n = len(ids)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in ids]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if max_len:
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        # (n, max_len) zero-padded byte matrix — reshape when uniform,
+        # flat integer scatter otherwise (2-D boolean-mask assignment is
+        # ~50× slower than either)
+        if len(flat) == n * max_len:
+            buf = flat.reshape(n, max_len)
+        else:
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                offs[:-1], lens
+            )
+            buf = np.zeros((n, max_len), dtype=np.uint8)
+            buf.ravel()[rows * max_len + within] = flat
+        prime = np.uint64(0x100000001B3)
+        buf64 = buf.astype(np.uint64)
+        uniform = len(flat) == n * max_len
+        with np.errstate(over="ignore"):
+            for j in range(max_len):
+                # full-vector step + where-select (boolean fancy indexing
+                # here costs more than it saves); rows already past their
+                # length keep their finished hash
+                step = (h ^ buf64[:, j]) * prime
+                h = step if uniform else np.where(lens > j, step, h)
+    return fmix64(h) >> np.uint64(1)

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 from mhap_spark.config import MhapConfig
 from mhap_spark.freq import FreqTable
 from mhap_spark.hashing import fmix64
-from mhap_spark.shingles import batch_shingles, distinct_per_row
+from mhap_spark.shingles import batch_shingles, distinct_per_row, shingle_input
 
 _INT64_MAX = np.iinfo(np.int64).max
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -215,7 +215,9 @@ def compute_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
+            flat, offs = batch_shingles(
+                pdf["caption"], pdf["phash"], cfg, pdf["phash_is_null"]
+            )
             rows, keys, tfs, row_starts = distinct_per_row(flat, offs)
             weights = batch_weights(keys, tfs, cfg, freq)
             sig = batch_minhash(rows, keys, weights, row_starts, num_hashes)
@@ -237,9 +239,7 @@ def compute_signatures(
                 }
             )
 
-    out = df.select("image_id", "caption", "phash").mapInPandas(
-        gen, SIGNATURE_SCHEMA
-    )
+    out = shingle_input(df).mapInPandas(gen, SIGNATURE_SCHEMA)
     if cfg.min_shingles > 0:
         # explicit min-length load filter (mhap/main/MhapMain.java:79-81
         # analog); a plain predicate so Catalyst can push it into consumers

@@ -70,7 +70,12 @@ class FreqFilter:
         self.cfg = cfg
         self.map = {h: r for h, r in ratios.items() if r >= cfg.filter_cutoff}
         self.max_value = max(self.map.values()) if self.map else 1.0
-        self.min_value = cfg.filter_cutoff
+        # cutoff=0 anchor mirrors FreqTable._bounds: rarest observed ratio
+        self.min_value = (
+            cfg.filter_cutoff
+            if cfg.filter_cutoff > 0.0
+            else (min(self.map.values()) if self.map else 1.0)
+        )
         # mhap/sketch/FrequencyCounts.java:227-228
         self.min_idf = self.idf(self.max_value)
         self.max_idf = self.idf(self.min_value)
@@ -84,7 +89,7 @@ class FreqFilter:
         val = self.map.get(h)
         if val is None:
             return self.cfg.idf_scale
-        if self.max_idf == self.min_idf:
+        if self.max_idf == self.min_idf or self.cfg.idf_scale <= 1.0:
             return 1.0
         scale = (self.max_idf - self.min_idf) / (self.cfg.idf_scale - 1.0)
         return 1.0 + (self.idf(val) - self.min_idf) / scale

@@ -17,14 +17,42 @@ from mhap_spark.config import MhapConfig
 from mhap_spark.hashing import caption_kgram_hashes_batch, phash_ngram_hashes
 
 
+def shingle_input(df):
+    """The three columns the shingle kernels consume, with phash nulls made
+    Arrow-safe BEFORE the Python worker sees them.
+
+    The default Arrow→pandas conversion of a nullable long column is
+    float64 + NaN, which is doubly wrong here: NaN→int64 casts silently to
+    INT64_MIN (every null-phash row would then share identical phash
+    shingles and spuriously cluster together), and non-null hashes above
+    2^53 in the same batch lose low bits to the float round-trip.  Nulls
+    are therefore resolved JVM-side: phash coalesced to 0 (keeps the
+    column int64 end-to-end) plus an explicit null mask the kernel uses to
+    emit zero phash shingles for those rows (caption-only, mirroring how a
+    null caption contributes zero caption shingles)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "image_id",
+        "caption",
+        F.coalesce(F.col("phash"), F.lit(0)).alias("phash"),
+        F.col("phash").isNull().alias("phash_is_null"),
+    )
+
+
 def batch_shingles(
-    captions: pd.Series, phashes: pd.Series, cfg: MhapConfig
+    captions: pd.Series,
+    phashes: pd.Series,
+    cfg: MhapConfig,
+    phash_null: pd.Series | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All shingle hashes of a batch of rows.
 
     Returns (flat, offsets): ``flat`` is the concatenated uint64 hash multiset,
     ``offsets[i]:offsets[i+1]`` slices row i.  Fully vectorized — one numpy
     pass for captions, one for phashes (no per-row Python in the hash math).
+    ``phash_null`` (from ``shingle_input``) marks rows whose phash was NULL
+    in the source table: they contribute zero phash shingles.
     """
     n = len(captions)
     cap_lists: list[np.ndarray]
@@ -36,10 +64,17 @@ def batch_shingles(
         ph = phash_ngram_hashes(
             phashes.to_numpy(dtype=np.int64), cfg.phash_ngram_bits
         )
+        if phash_null is not None:
+            ph_counts = np.where(
+                phash_null.to_numpy(dtype=bool), 0, ph.shape[1]
+            ).astype(np.int64)
+        else:
+            ph_counts = np.full(n, ph.shape[1], dtype=np.int64)
     else:
         ph = np.empty((n, 0), dtype=np.uint64)
+        ph_counts = np.zeros(n, dtype=np.int64)
 
-    counts = np.array([len(c) for c in cap_lists], dtype=np.int64) + ph.shape[1]
+    counts = np.array([len(c) for c in cap_lists], dtype=np.int64) + ph_counts
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     flat = np.empty(offsets[-1], dtype=np.uint64)
@@ -47,7 +82,8 @@ def batch_shingles(
         lo = offsets[i]
         c = cap_lists[i]
         flat[lo : lo + len(c)] = c
-        flat[lo + len(c) : offsets[i + 1]] = ph[i]
+        if ph_counts[i]:
+            flat[lo + len(c) : offsets[i + 1]] = ph[i]
     return flat, offsets
 
 
@@ -104,7 +140,9 @@ def shingles_df(df, cfg: MhapConfig):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            flat, offs = batch_shingles(pdf["caption"], pdf["phash"], cfg)
+            flat, offs = batch_shingles(
+                pdf["caption"], pdf["phash"], cfg, pdf["phash_is_null"]
+            )
             signed = flat.view(np.int64)
             yield pd.DataFrame(
                 {
@@ -116,4 +154,4 @@ def shingles_df(df, cfg: MhapConfig):
                 }
             )
 
-    return df.select("image_id", "caption", "phash").mapInPandas(gen, schema)
+    return shingle_input(df).mapInPandas(gen, schema)

@@ -123,7 +123,7 @@ def verified_pairs(
     the bench corpus 98.2% of rows appear in ≥1 candidate (star-mode band
     collisions put even singleton-cluster rows into shared buckets), so the
     semi-join cut 1.8% of array bytes while ADDING a distinct + semi-join —
-    net shuffle-write −5.6% (230.4 → 243.3 MB at 100k rows).  Worth turning
+    net shuffle-write +5.6% WORSE (230.4 → 243.3 MB at 100k rows).  Worth turning
     ON only for corpora where most rows never reach a candidate pair (tight
     vote gates / low dup density).  Note shuffle compression already tames
     the array redundancy: the naive 2 × 100k × 12 KiB ≈ 2.4 GB ships as

@@ -184,3 +184,85 @@ def test_cc_driver_finish_equivalent(spark):
         ).collect()
     }
     assert mid == loop
+
+
+def test_null_phash_rows_are_caption_only_and_batch_safe(spark):
+    """A NULL phash must contribute ZERO phash shingles (caption-only row) —
+    the default Arrow→pandas path would cast NaN to INT64_MIN, giving every
+    null-phash row identical phash shingles (spurious clustering) AND
+    corrupting non-null hashes above 2^53 in the same batch via the float64
+    round-trip.  shingle_input resolves nulls JVM-side."""
+    from mhap_spark.shingles import shingles_df
+
+    cfg = MhapConfig(num_hashes=64)
+    big_hash = (1 << 62) + 12345  # above 2^53: float64 round-trip would corrupt
+    rows = [
+        ("keep", None, 0, 0, "raw", "a sunny beach with palm trees", big_hash),
+        ("null_a", None, 0, 0, "raw", "a red bicycle leaning on a wall", None),
+        ("null_b", None, 0, 0, "raw", "snowy mountain peaks at dawn today", None),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    got = {r["image_id"]: r for r in shingles_df(df, cfg).collect()}
+
+    # null-phash rows: shingles == caption-only shingles (no phash n-grams,
+    # and in particular NOT the INT64_MIN n-gram set both would share)
+    cap_only = cfg.with_overrides(use_phash_shingles=False)
+    cap = {r["image_id"]: r for r in shingles_df(df, cap_only).collect()}
+    for rid in ("null_a", "null_b"):
+        assert got[rid]["shingles"] == cap[rid]["shingles"]
+    assert not set(got["null_a"]["shingles"]) & set(got["null_b"]["shingles"])
+
+    # the non-null row in the same Arrow batch keeps bit-exact shingles
+    solo = spark.createDataFrame([rows[0]], INPUT_SCHEMA_DDL)
+    want = shingles_df(solo, cfg).collect()[0]["shingles"]
+    assert got["keep"]["shingles"] == want
+
+    # end-to-end: the two unrelated null-phash rows must not become a pair
+    sigs = compute_signatures(df, cfg, freq=None)
+    pairs = {
+        (r["src"], r["dst"])
+        for r in candidate_pairs(sigs, cfg).select("src", "dst").collect()
+    }
+    assert ("null_a", "null_b") not in pairs and ("null_b", "null_a") not in pairs
+
+
+def test_cc_driver_finish_integer_ids(spark):
+    """The CC API is id-type-agnostic everywhere else; the driver-finish
+    path must not assume string ids (it is the DEFAULT regime at
+    cc_driver_finish_edges=8M, so integer-id graphs hit it immediately)."""
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2)]
+    pairs_df = spark.createDataFrame(edges, "src long, dst long")
+    verts_df = spark.createDataFrame(
+        [(i,) for i in range(42)], "image_id long"
+    )
+    finish = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, verts_df, driver_finish_edges=10_000
+        ).collect()
+    }
+    loop = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, verts_df, driver_finish_edges=0
+        ).collect()
+    }
+    assert finish == loop
+    assert finish[3] == 0  # 0-1-2-3 merged via the (1,2) bridge, min id 0
+
+
+def test_freq_edge_configs_no_crash(spark, input_df):
+    """idf_scale=1.0 (flat idf span) and filter_cutoff=0.0 (retain all)
+    are legal configs: idf_scale=1 means every hit weighs 1.0 (not a
+    division by idf_scale−1 = 0), cutoff=0 anchors the idf span at the
+    rarest observed ratio (not log(x/0)).  Engine and oracle mirror both
+    guards, so signatures stay bit-exact."""
+    from pyspark.sql import functions as F
+
+    from mhap_spark.minhash import compute_signatures as _sigs
+
+    for over in ({"idf_scale": 1.0}, {"filter_cutoff": 0.0}):
+        cfg = MhapConfig(num_hashes=32, **over)
+        freq = FreqTable.compute(input_df, cfg)
+        out = _sigs(input_df, cfg, freq)
+        assert out.where(F.size("sig") == cfg.num_hashes).count() == out.count()
