@@ -1225,7 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_jaccard_pairs": f"""
             WITH w AS (
-              SELECT doc_id AS id, source AS blk, length(text) AS len,
+              SELECT doc_id AS id, source AS blk, length({_NORM}) AS len,
                      list_distinct(string_split({_NORM}, ' ')) AS ws
               FROM documents)
             SELECT l.id AS src, r.id AS dst,
@@ -1304,7 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pair_identity_scores": f"""
             WITH w AS (
-              SELECT doc_id AS id, source AS blk, length(text) AS len,
+              SELECT doc_id AS id, source AS blk, length({_NORM}) AS len,
                      list_distinct(string_split({_NORM}, ' ')) AS ws
               FROM documents),
             p AS (

@@ -61,10 +61,13 @@ def word_jaccard_pairs(
     VERDICT.md "weak at scale" fix.  Jaccard entirely via builtin array ops
     (array_intersect / array_union sizes), no Python."""
     w = max(int(max_len_delta), 1)
+    # the length gate measures the NORMALIZED text — the same form the
+    # jaccard is computed over — so whitespace/formatting drift between
+    # normalized-identical duplicates cannot push a pair past the delta
     words = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        F.length(text_col).alias("len"),
+        F.length(normalized_text(F.col(text_col))).alias("len"),
         F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("ws"),
     )
     l = words.withColumn("lb", F.floor(F.col("len") / w)).alias("l")
@@ -236,7 +239,7 @@ def simhash_docs(
                 if not len(g):
                     continue
                 bits = (g[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = 2 * bits.sum(axis=0) - len(g)  # +1/-1 per gram per bit
+                votes = 2 * bits.sum(axis=0).astype(np.int64) - len(g)  # +1/-1 per gram per bit
                 out[i] = np.uint64(
                     ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
                 )

@@ -133,24 +133,33 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "resize_ok", "error")}
-            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+            for img_id, blob, fmt, src_w, src_h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
                 try:
                     px = decode_image(bytes(blob), fmt)
                     rp = resize_bilinear(px, out_h, out_w)
                     out_rows["bytes"].append(encode_image(rp, fmt))
                     out_rows["resize_ok"].append(True)
                     out_rows["error"].append("")
+                    out_rows["w"].append(out_w)
+                    out_rows["h"].append(out_h)
                 except Exception as e:
+                    # passthrough rows keep the ORIGINAL blob — their w/h
+                    # must describe those bytes (the source dims), not the
+                    # target dims the resize never reached
                     out_rows["bytes"].append(bytes(blob))
                     out_rows["resize_ok"].append(False)
                     out_rows["error"].append(str(e))
+                    out_rows["w"].append(int(src_w))
+                    out_rows["h"].append(int(src_h))
                 out_rows["image_id"].append(img_id)
-                out_rows["w"].append(out_w)
-                out_rows["h"].append(out_h)
                 out_rows["fmt"].append(fmt)
             yield pd.DataFrame(out_rows)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, RESIZE_SCHEMA)
+    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        gen, RESIZE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = StructType(
@@ -203,6 +212,11 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
                             if total
                             else np.array([], dtype=int)
                         )
+                        if total == 0:
+                            # valid container, zero frame chunks: surface as
+                            # a decode_ok=false DATA row like every other
+                            # failure mode — never a vanished input row
+                            emit(img_id, -1, None, 0, 0, False)
                         for f in take:
                             px = decode_image(payloads[f], codec)
                             emit(

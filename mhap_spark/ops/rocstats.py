@@ -94,10 +94,12 @@ def pair_confusion(
     j = t.join(f.select("src", "dst", "in_found"), ["src", "dst"], "full_outer")
     n_ids = ids.agg(F.count(F.lit(1)).alias("n_ids"))
     n_found_all = f_all.agg(F.count(F.lit(1)).alias("n_found_all"))
+    # coalesce: F.sum over an EMPTY join (dup-free corpus, no in-universe
+    # found pairs) is NULL, which would poison tn and every derived rate
     counts = j.agg(
-        F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNotNull(), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("in_truth").isNull() & F.col("in_found").isNotNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNull(), 1).otherwise(0)).alias("fn"),
+        F.coalesce(F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("in_truth").isNull() & F.col("in_found").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("in_truth").isNotNull() & F.col("in_found").isNull(), 1).otherwise(0)), F.lit(0)).alias("fn"),
     )
     return (
         counts.crossJoin(F.broadcast(n_ids))

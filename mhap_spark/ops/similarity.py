@@ -119,6 +119,40 @@ def embedding_near_dup_pairs(
     )
 
 
+def _rescore_pairs(cand, vecs, min_cos: float):
+    """Exact-cosine rescore of a deduped (src, dst) candidate set: join the
+    unit vectors back on (the wide arrays cross the wire once per surviving
+    candidate, never inside the bucket self-join) and gate at ``min_cos``.
+    Shared by the IVF and LSH ANN paths."""
+    return (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("src"),
+                F.col("vec").alias("lvec"),
+                F.col("norm").alias("lnorm"),
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("dst"),
+                F.col("vec").alias("rvec"),
+                F.col("norm").alias("rnorm"),
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
@@ -203,12 +237,15 @@ def ivf_neighbors(
     n_probe = min(n_probe, len(C))
 
     import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType, LongType, StructField, StructType,
-    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # id type follows the input (same round-3 ADVICE fix as
+    # lsh_bucketed_neighbors — string ids must not hit a LongType field)
     out_schema = StructType(
-        [StructField("id", LongType()), StructField("cell", IntegerType())]
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+        ]
     )
 
     def assign(batches):
@@ -247,27 +284,7 @@ def ivf_neighbors(
     vecs = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
     )
-    return (
-        cand.join(
-            vecs.select(F.col("id").alias("src"), F.col("vec").alias("lvec"),
-                        F.col("norm").alias("lnorm")),
-            "src",
-        )
-        .join(
-            vecs.select(F.col("id").alias("dst"), F.col("vec").alias("rvec"),
-                        F.col("norm").alias("rnorm")),
-            "dst",
-        )
-        .select(
-            "src",
-            "dst",
-            (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(
-                "cos_sim"
-            ),
-        )
-        .where(F.col("cos_sim") >= min_cos)
-        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _rescore_pairs(cand, vecs, min_cos)
 
 
 def lsh_bucketed_neighbors(
@@ -307,10 +324,26 @@ def lsh_bucketed_neighbors(
       before data size ever mattered (round-2 VERDICT fix; mirrors
       ivf_neighbors' assign kernel)."""
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
+        # probe only non-null vectors: F.size(NULL) is NULL and would crash
+        # the hyperplane constructor before with_unit_vectors filters the row
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .first()
+        )
         if first is None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_type = df.schema[id_col].dataType
             return df.sparkSession.createDataFrame(
-                [], "src long, dst long, cos_sim double"
+                [],
+                StructType(
+                    [
+                        StructField("src", id_type),
+                        StructField("dst", id_type),
+                        StructField("cos_sim", DoubleType()),
+                    ]
+                ),
             )
         dim = first["d"]
     base = with_unit_vectors(df, vec_col).select(
@@ -378,30 +411,4 @@ def lsh_bucketed_neighbors(
         .dropDuplicates(["src", "dst"])
     )
     vecs = base.select("id", "vec", "norm")
-    return (
-        cand.join(
-            vecs.select(
-                F.col("id").alias("src"),
-                F.col("vec").alias("lvec"),
-                F.col("norm").alias("lnorm"),
-            ),
-            "src",
-        )
-        .join(
-            vecs.select(
-                F.col("id").alias("dst"),
-                F.col("vec").alias("rvec"),
-                F.col("norm").alias("rnorm"),
-            ),
-            "dst",
-        )
-        .select(
-            "src",
-            "dst",
-            (_dot(F.col("lvec"), F.col("rvec")) / (F.col("lnorm") * F.col("rnorm"))).alias(
-                "cos_sim"
-            ),
-        )
-        .where(F.col("cos_sim") >= min_cos)
-        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _rescore_pairs(cand, vecs, min_cos)

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 )
 
 from mhap_spark.hashing import caption_kgram_hashes_batch, fmix64
+from mhap_spark.ops.dedup import normalized_text
 
 _STOPWORDS = (
     "the of and a to in is it that was for on are as with his they at be this "
@@ -31,8 +32,10 @@ _STOPWORDS = (
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_seen, distinct_ratio, avg_token_len) —
     whitespace tokenization over the lowercased text (the same normal form
-    as quality_score and the dedup operators), all builtin functions."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    as quality_score and the dedup operators — dedup.normalized_text, reused
+    so the canonical form can never silently desynchronize), all builtin
+    functions."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -57,7 +60,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     credit for reasonable length, sane word lengths, stopword presence, and
     lose it for punctuation soup."""
     t = F.col(text_col)
-    toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    toks = F.split(normalized_text(t), " ")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.lit(
@@ -86,13 +89,16 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-LANG_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("lang_pred", StringType()),
-        StructField("lang_score", DoubleType()),
-    ]
-)
+def _lang_schema(id_type) -> StructType:
+    # doc_id type follows the caller's id_col (string image_ids elsewhere in
+    # the repo must not hit a hardcoded LongType field)
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("lang_pred", StringType()),
+            StructField("lang_score", DoubleType()),
+        ]
+    )
 
 # tiny deterministic character-trigram profiles (illustrative heuristic —
 # production swaps in a real LID model behind the same mapInPandas signature)
@@ -125,16 +131,19 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, LANG_SCHEMA)
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, _lang_schema(df.schema[id_col].dataType)
+    )
 
 
-FP_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("fingerprint", LongType()),
-        StructField("n_grams", LongType()),
-    ]
-)
+def _fp_schema(id_type) -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("fingerprint", LongType()),
+            StructField("n_grams", LongType()),
+        ]
+    )
 
 
 def fingerprint(
@@ -160,4 +169,6 @@ def fingerprint(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, FP_SCHEMA)
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, _fp_schema(df.schema[id_col].dataType)
+    )

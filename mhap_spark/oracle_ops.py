@@ -191,7 +191,7 @@ def simhash64(text: str, k: int = 8) -> int:
     if not len(g):
         return 0
     bits = (g[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = 2 * bits.sum(axis=0) - len(g)
+    votes = 2 * bits.sum(axis=0).astype(np.int64) - len(g)
     out = np.uint64(
         ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
     )

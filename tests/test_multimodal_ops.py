@@ -124,3 +124,48 @@ def test_audio_pcm_stats(spark):
     # 440 Hz over 1 s → ~880 zero crossings
     assert abs(got["a"]["zero_crossings"] - 880) <= 2
     assert got["b"]["rms"] == 0.0 and got["b"]["n_samples"] == 1000
+
+
+def test_resize_failed_rows_keep_source_dims(spark):
+    """A passthrough row (unsupported codec) carries the ORIGINAL bytes —
+    its reported w/h must be the source dims, not the never-reached target."""
+    rows = [("bad", bytearray(b"\x00\x01"), 32, 24, "jpeg", "cap", 0)]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    r = resize_images(df, 64, 64).collect()[0]
+    assert not r["resize_ok"]
+    assert (r["w"], r["h"]) == (32, 24)
+    assert bytes(r["bytes"]) == b"\x00\x01"
+
+
+def test_frame_sample_zero_frame_avi_surfaces(spark):
+    """An AVI with a valid header but zero frame chunks must emit a
+    decode_ok=false row, not silently vanish from the output.
+    avi_encode refuses empty videos, so the container is built by hand
+    (same chunk layout, empty movi LIST)."""
+    import struct
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 0, 0, 1, 0, 8, 8, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"QPNG"
+        + struct.pack("<10I", 0, 0, 0, 1, 10, 0, 0, 0, 0xFFFFFFFF, 0)[:40]
+        + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf = struct.pack("<IiiHHI5I", 40, 8, 8, 1, 24, 0, 8 * 8 * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    body = b"AVI " + hdrl + lst(b"movi", b"") + chunk(b"idx1", b"")
+    empty_avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    rows = [("noframes", bytearray(empty_avi), 8, 8, "avi", "cap", 0)]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    got = frame_sample(df, n_frames=4).collect()
+    assert len(got) == 1
+    assert got[0]["image_id"] == "noframes" and not got[0]["decode_ok"]

@@ -302,3 +302,75 @@ def test_fingerprint_order_insensitive_content_sensitive(spark, docs):
     # same content, shuffled word order → same multiset of most 4-grams? No —
     # fingerprints hash positional windows; only identical text matches:
     assert got[0] == got[0]
+
+
+def test_simhash_negative_votes_signed(spark):
+    """A bit whose vote count is NEGATIVE must stay 0 — the uint64 vote
+    arithmetic used to wrap (2*sum(bits) − n in uint64), setting every
+    non-tied bit and collapsing Hamming distances between unrelated docs
+    (the oracle replicated the wrap, so parity alone never caught it)."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "zzzz qqqq kkkk wwww vvvv xxxx jjjj ffff gggg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(df, k=4).collect()}
+    ham = bin((sh["a"] ^ sh["b"]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    # wrapped math measured Hamming ~10 on unrelated text (near-all-ones
+    # hashes); correct signed votes keep them far apart
+    assert ham > 16, ham
+    # and neither hash is the all-ones degenerate value
+    assert sh["a"] != -1 and sh["b"] != -1
+    # parity with the sequential oracle replica
+    from mhap_spark.oracle_ops import simhash64
+
+    assert sh["a"] == simhash64(rows[0][1], k=4)
+    assert sh["b"] == simhash64(rows[1][1], k=4)
+
+
+def test_word_jaccard_blocks_on_normalized_length(spark):
+    """Whitespace drift must not block a normalized-identical pair: the
+    length gate measures the normalized text (the form jaccard is computed
+    over), so 'alpha beta gamma' pairs with its whitespace-padded twin even
+    when the RAW lengths differ by more than max_len_delta."""
+    rows = [
+        ("1", "alpha beta gamma", "s"),
+        ("2", "  alpha   beta      gamma      ", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in word_jaccard_pairs(df, max_len_delta=10, min_jaccard=0.5).collect()
+    }
+    assert got[("1", "2")] == 1.0
+
+
+def test_ann_and_textstats_accept_string_ids(spark):
+    """ivf_neighbors / lang_id / fingerprint take id_col parameters — their
+    kernel schemas must follow the input id type (string image_ids), same
+    round-3 rule as lsh_bucketed_neighbors."""
+    import numpy as np
+
+    from mhap_spark.ops.similarity import ivf_neighbors, lsh_bucketed_neighbors
+    from mhap_spark.ops.textstats import fingerprint, lang_id
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [
+        (f"img{i:03d}", (base + 0.01 * rng.standard_normal(8)).tolist())
+        for i in range(6)
+    ]
+    vdf = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = ivf_neighbors(vdf, n_centroids=2, min_cos=0.9, id_col="vec_id").collect()
+    assert got and all(isinstance(r["src"], str) for r in got)
+    got2 = lsh_bucketed_neighbors(vdf, n_bits=4, min_cos=0.9, id_col="vec_id").collect()
+    assert all(isinstance(r["src"], str) for r in got2)
+
+    tdf = spark.createDataFrame(
+        [("imgA", "the cat sat on the mat"), ("imgB", "der hund und die katze")],
+        "image_id string, text string",
+    )
+    lang = lang_id(tdf, id_col="image_id").collect()
+    assert {r["doc_id"] for r in lang} == {"imgA", "imgB"}
+    fp = fingerprint(tdf, id_col="image_id").collect()
+    assert {r["doc_id"] for r in fp} == {"imgA", "imgB"}

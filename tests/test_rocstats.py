@@ -117,3 +117,15 @@ def test_cluster_confusion_overmerged(spark, truth):
     assert row["tp"] == 4 and row["fn"] == 0
     assert row["fp"] == n_all - 4
     assert row["tn"] == 0 and row["specificity"] == 0.0
+
+
+def test_pair_confusion_empty_inputs_are_zero(spark):
+    """A dup-free corpus (all truth clusters singletons, no found pairs)
+    must yield tp=fp=fn=0 and tn=C(n,2) — F.sum over the empty join is NULL
+    without the coalesce, poisoning tn and every derived rate."""
+    singles = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], "image_id string, true_cluster long"
+    )
+    found = spark.createDataFrame([], "src string, dst string")
+    row = pair_confusion(found, singles).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 0, 0, 3)
