@@ -1,0 +1,217 @@
+"""Property-based tests (hypothesis) over the sparkless numpy kernels.
+
+The fixed-seed parity tests pin known-good vectors; these search the input
+space for the shapes nobody thought to pin — empty rows, ties, extreme
+uint64 values, degenerate images.  All pure numpy/stdlib: no JVM, so the
+whole module runs in seconds.  SURVEY.md §5's "unit kernels get their own
+oracles" strategy, mechanized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mhap_spark.codecs import (
+    QPNG_STEP,
+    avi_encode,
+    avi_parse,
+    phash64,
+    phash64_batch,
+    png_decode,
+    png_encode,
+    psnr,
+    qpng_encode,
+)
+from mhap_spark.hashing import canonicalize_caption, fmix64, xorshift_step
+from mhap_spark.oracle import bottom_k_jaccard, connected_components
+from mhap_spark.shingles import distinct_per_row
+
+SETTINGS = dict(deadline=None, max_examples=60)
+
+uint64s = st.integers(min_value=0, max_value=2**64 - 1)
+
+
+# --- hashing ------------------------------------------------------------------
+
+
+def _fmix64_ref(x: int) -> int:
+    m = 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & m
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & m
+    x ^= x >> 33
+    return x
+
+
+def _xorshift_ref(x: int) -> int:
+    m = 0xFFFFFFFFFFFFFFFF
+    x ^= (x << 21) & m
+    x ^= x >> 35
+    x ^= (x << 4) & m
+    return x
+
+
+@settings(**SETTINGS)
+@given(st.lists(uint64s, min_size=1, max_size=64))
+def test_fmix64_matches_scalar_ref(xs):
+    got = fmix64(np.array(xs, dtype=np.uint64))
+    assert got.tolist() == [_fmix64_ref(x) for x in xs]
+
+
+@settings(**SETTINGS)
+@given(st.lists(uint64s, min_size=1, max_size=64))
+def test_xorshift_matches_scalar_ref(xs):
+    got = xorshift_step(np.array(xs, dtype=np.uint64))
+    assert got.tolist() == [_xorshift_ref(x) for x in xs]
+
+
+@settings(**SETTINGS)
+@given(st.text(max_size=80))
+def test_canonicalize_caption_idempotent(s):
+    c = canonicalize_caption(s)
+    assert canonicalize_caption(c) == c
+    assert "  " not in c and c == c.strip()
+
+
+# --- shingle distinct/tf kernel -------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(  # per-row multisets drawn from a small alphabet to force ties
+        st.lists(st.integers(min_value=0, max_value=30), max_size=20),
+        max_size=8,
+    )
+)
+def test_distinct_per_row_matches_numpy_unique(rows):
+    flat = np.array([h for r in rows for h in r], dtype=np.uint64)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=offsets[1:])
+    row_idx, keys, tfs, starts = distinct_per_row(flat, offsets)
+    assert len(starts) == len(rows) + 1
+    for i, r in enumerate(rows):
+        want_k, want_tf = np.unique(np.array(r, dtype=np.uint64), return_counts=True)
+        sl = slice(starts[i], starts[i + 1])
+        assert keys[sl].tolist() == want_k.tolist()
+        assert tfs[sl].tolist() == want_tf.tolist()
+        assert (row_idx[sl] == i).all()
+
+
+# --- bottom-k Jaccard vs brute force --------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+)
+def test_bottom_k_jaccard_matches_brute_force(xs, ys):
+    a = np.unique(np.array(xs, dtype=np.uint64))
+    b = np.unique(np.array(ys, dtype=np.uint64))
+    k = min(len(a), len(b))
+    smallest = np.unique(np.concatenate([a, b]))[:k]
+    want = sum(1 for v in smallest if v in set(a.tolist()) and v in set(b.tolist())) / k
+    assert bottom_k_jaccard(a, b) == pytest.approx(want)
+
+
+# --- connected components vs BFS ------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ),
+                max_size=20,
+            ),
+        )
+    )
+)
+def test_union_find_matches_bfs(case):
+    n, edge_idx = case
+    ids = [f"id{i:02d}" for i in range(n)]
+    pairs = [(ids[a], ids[b]) for a, b in edge_idx]
+    got = connected_components(ids, pairs)
+
+    adj = {i: set() for i in ids}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen: set[str] = set()
+    want: dict[str, str] = {}
+    for root in ids:
+        if root in seen:
+            continue
+        comp, stack = [], [root]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        label = min(comp)  # FIXTURES.md F4: cluster id = lexicographic min
+        for v in comp:
+            want[v] = label
+    assert got == want
+
+
+# --- codecs ----------------------------------------------------------------------
+
+images = st.tuples(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+).map(
+    lambda t: np.random.default_rng(t[2])
+    .integers(0, 256, size=(t[0], t[1], 3))
+    .astype(np.uint8)
+)
+
+
+@settings(**SETTINGS)
+@given(images)
+def test_png_roundtrip_lossless(px):
+    assert (png_decode(png_encode(px)) == px).all()
+
+
+@settings(**SETTINGS)
+@given(images)
+def test_qpng_error_bound_and_psnr(px):
+    dec = png_decode(qpng_encode(px))
+    err = np.abs(dec.astype(np.int32) - px.astype(np.int32)).max()
+    assert err <= QPNG_STEP // 2  # quantization half-step, the ≥40 dB basis
+    if err:  # PSNR≥40dB per-row invariant (BASELINE.json input_hint)
+        assert psnr(px, dec) >= 40.0
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_avi_mux_demux_roundtrip(n_frames, seed):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    fmt, w, h, payloads = avi_parse(avi_encode(frames, fourcc=b"PNG "))
+    assert (fmt, w, h, len(payloads)) == ("png", 8, 8, n_frames)
+    for f, p in zip(frames, payloads):
+        assert (png_decode(p) == f).all()
+
+
+@settings(deadline=None, max_examples=20)
+@given(st.integers(min_value=1, max_value=6), st.integers(min_value=0, max_value=2**32 - 1))
+def test_phash_batch_matches_scalar(n, seed):
+    px = np.random.default_rng(seed).integers(0, 256, size=(n, 32, 32, 3)).astype(np.uint8)
+    batch = phash64_batch(px)
+    assert [int(v) for v in batch] == [phash64(px[i]) for i in range(n)]
