@@ -266,3 +266,53 @@ def test_freq_edge_configs_no_crash(spark, input_df):
         freq = FreqTable.compute(input_df, cfg)
         out = _sigs(input_df, cfg, freq)
         assert out.where(F.size("sig") == cfg.num_hashes).count() == out.count()
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {"rows_per_band": 2},                      # 64 true LSH bands
+        {"rows_per_band": 4, "num_min_matches": 4},  # 32 bands, gate ceil(4/4)=1
+        {"rows_per_band": 2, "num_bands": 20},     # band subsampling on top
+    ],
+)
+def test_lsh_banding_r_gt_1_matches_oracle(spark, corpus, input_df, oracle_state, over):
+    """True LSH banding (rows_per_band > 1, previously untested): the engine
+    folds r consecutive slots into one fmix64-chained band key
+    (minhash.band_hashes); the oracle buckets on the exact r-slot tuple.
+    Candidate sets, votes, and verified pairs must agree — including with
+    num_bands subsampling layered on.  Signatures are banding-independent,
+    so the module oracle state is reused."""
+    cfg = CFG.with_overrides(**over)
+    _, _, sigs_o, bottoms_o = oracle_state
+    freq = FreqTable.from_df(df_ratio_table(input_df, cfg), cfg)
+    sig_df = compute_signatures(input_df, cfg, freq)
+
+    got = {
+        (r["src"], r["dst"]): r["votes"]
+        for r in candidate_pairs(sig_df, cfg).collect()
+    }
+    # candidate stage has no jaccard/score gate — disable both oracle gates
+    want = {
+        (a, b): v
+        for a, b, v, *_ in oracle.find_pairs(
+            corpus["image_id"], sigs_o, bottoms_o,
+            cfg.with_overrides(threshold=-1.0, min_jaccard=-1.0),
+        )
+    }
+    assert got == want and len(got) > 0
+
+    got_v = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"])
+        for r in verified_pairs(candidate_pairs(sig_df, cfg), sig_df, cfg).collect()
+    }
+    want_v = {
+        (a, b): (v, j)
+        for a, b, v, j, _ in oracle.find_pairs(
+            corpus["image_id"], sigs_o, bottoms_o, cfg
+        )
+    }
+    assert got_v.keys() == want_v.keys()
+    for k in want_v:
+        assert got_v[k][0] == want_v[k][0]
+        assert got_v[k][1] == pytest.approx(want_v[k][1], abs=1e-12)
