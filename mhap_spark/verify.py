@@ -57,7 +57,13 @@ def bottom_k_jaccard_col(a, b):
     mhap/sketch/BottomOverlapSketch.java:304-364: with k = min(|a|,|b|) and
     u_k = the k smallest elements of the distinct union, score =
     |{x ∈ u_k : x ∈ a ∩ b}| / k.  Whole-stage-codegen'd; no Python workers
-    in the verify path (they oversubscribe cores against the JVM join threads)."""
+    in the verify path (they oversubscribe cores against the JVM join threads).
+
+    Ordering note: array_sort compares SIGNED int64 while the kernel selected
+    the bottom-k in unsigned uint64 order — consistent only because every
+    GRAFT-HASH-1 shingle hash is 63-bit (fmix64 then >>1, hashing.py spec), so
+    the two orders coincide; pinned by tests/test_hashing.py's <2^63 asserts
+    (a full-64-bit hash spec would silently change which u_k this picks)."""
     k = F.least(F.size(a), F.size(b))
     u_k = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
     inter = F.array_intersect(a, b)
