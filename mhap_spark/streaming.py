@@ -177,10 +177,15 @@ class IncrementalDedup:
         freq: FreqTable | None = None,
         cache_index: bool = False,
         band_index: bool = False,
+        id_pushdown_cap: int = 100_000,
     ):
         self.base_dir = base_dir
         self.cfg = cfg
         self.freq = freq
+        # band-index verify side: matched ids at or below this count are
+        # pushed into the signature scan as an In filter (row-group pruning);
+        # above it the left-semi join applies (no driver-side id set)
+        self.id_pushdown_cap = id_pushdown_cap
         # the band-index probe never reads the signature-slice cache, so
         # pinning a per-batch slice every micro-batch would grow executor
         # storage memory linearly with stream lifetime for zero benefit —
@@ -278,11 +283,29 @@ class IncrementalDedup:
                 indexed = spark.read.parquet(self.sig_path).where(
                     F.col("batch_id") < F.lit(batch_id)
                 )
-                both = both.unionByName(
-                    indexed.join(matched_ids, "image_id", "left_semi").select(
-                        "image_id", "bottomk"
+                # fetch the matched index arrays with a PUSHED-DOWN id
+                # filter when the per-batch match set is small (the common
+                # case): ``found`` is already materialized (localCheckpoint
+                # in probe), so listing its distinct index ids is a cheap
+                # local job, and an In(image_id, …) predicate reaches the
+                # parquet row-group stats — on an image_id-sorted/bucketed
+                # signature table the verify side then reads a handful of
+                # row groups instead of scanning the whole table per batch.
+                # Above the cap (adversarial dup-flood batches) fall back to
+                # the semi-join, which never holds the id set on the driver.
+                ids = [
+                    r["image_id"]
+                    for r in matched_ids.limit(self.id_pushdown_cap + 1).collect()
+                ]
+                if len(ids) <= self.id_pushdown_cap:
+                    # ≤ cap rows under limit(cap+1) ⇒ this IS the full set
+                    hit = (
+                        indexed.where(F.col("image_id").isin(ids)) if ids else None
                     )
-                )
+                else:
+                    hit = indexed.join(matched_ids, "image_id", "left_semi")
+                if hit is not None:
+                    both = both.unionByName(hit.select("image_id", "bottomk"))
         else:
             indexed = self._indexed(spark, batch_id)
             if indexed is not None:

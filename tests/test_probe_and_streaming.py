@@ -315,6 +315,50 @@ def test_streaming_band_index_equivalent(spark, tmp_path):
     assert any(d.startswith("pfx=") for d in os.listdir(bi))
 
 
+def test_band_index_id_pushdown_equivalent(spark, tmp_path):
+    """The verify-side matched-id fetch must be identical through both
+    physical shapes: the In(image_id, …) filter pushed into the signature
+    scan (small match sets — row-group pruning at scale) and the left-semi
+    fallback above the cap (no driver-side id set).  cap=0 forces every
+    batch through the fallback; the default cap covers every batch here."""
+    corpus = generate_corpus(160, seed=13)
+    rows = corpus_to_rows(corpus)
+    chunks = [rows[i * 40 : (i + 1) * 40] for i in range(4)]
+
+    def run(base, cap):
+        sink = IncrementalDedup(base, CFG, band_index=True, id_pushdown_cap=cap)
+        for k, chunk in enumerate(chunks):
+            sink.process_batch(spark.createDataFrame(chunk, INPUT_SCHEMA_DDL), k)
+        return {
+            k: {
+                (r["src"], r["dst"])
+                for r in spark.read.parquet(
+                    os.path.join(base, "matches", f"batch_id={k}")
+                ).collect()
+            }
+            for k in range(len(chunks))
+        }
+
+    from pyspark.sql import functions as F
+
+    pushed = run(str(tmp_path / "pushed"), cap=100_000)
+    semi = run(str(tmp_path / "semi"), cap=0)
+    assert pushed == semi
+    assert any(pushed[k] for k in pushed)
+    # the pushdown really reaches the parquet scan: an isin over the
+    # signature table shows up as a pushed In/InSet filter, not a
+    # post-scan Filter only
+    sig = spark.read.parquet(os.path.join(str(tmp_path / "pushed"), "signatures"))
+    some_ids = [r["image_id"] for r in sig.select("image_id").limit(3).collect()]
+    plan = (
+        sig.where(F.col("image_id").isin(some_ids))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(image_id" in plan, plan[:2000]
+
+
 def test_band_index_narrow_probe_prunes_and_matches(spark, tmp_path):
     """narrow_probe=True (pfx partition pruning for lookup-style probes)
     must return exactly the wide-probe result; the pruned plan's pfx
