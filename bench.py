@@ -176,6 +176,27 @@ def run_pipeline_bench(
         clusters = out["clusters"].persist()
         clusters.count()  # pipeline fully materialized here (CC materializes pairs)
         all_elapsed.append(round(time.time() - t0, 2))
+    # noise defense for one-shot recorded runs: when the planned reps swing
+    # hard (this box's documented storm class shows 1.5–3× intra-leg swings),
+    # the min is likely still storm-inflated — buy up to 2 extra reps to give
+    # a quiet window a chance to appear.  Quiet runs (swing < 1.4×) pay
+    # nothing.  Only applies when ≥3 reps were requested (A/B callers that
+    # pass reps=1/2 manage their own windows).
+    while (
+        reps >= 3
+        and len(all_elapsed) < reps + 2
+        and max(all_elapsed) / min(all_elapsed) > 1.4
+    ):
+        out["signatures"].unpersist()
+        out["pairs"].unpersist()
+        clusters.unpersist()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3.0)
+        t0 = time.time()
+        out = run_pipeline(spark, df, cfg)
+        clusters = out["clusters"].persist()
+        clusters.count()
+        all_elapsed.append(round(time.time() - t0, 2))
     elapsed = min(all_elapsed)
 
     # persisted by the pipeline and materialized by CC → cache-only count,
