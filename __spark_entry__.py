@@ -937,7 +937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+# DuckDB replica of dedup.normalized_text = trim(regexp_replace(lower(x),
+# '\s+', ' ')): collapse FIRST, trim AFTER, same as the engine — trimming
+# first would leave a leading/trailing tab or newline to collapse into an
+# untrimmed edge space the engine never produces (post-review fix; latent
+# on the current corpus, which has no edge tabs/newlines).  The explicit
+# class is Java-regex \s ([ \t\n\x0b\f\r]) — RE2's \s lacks \x0b.
+_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 
 # DuckDB replica of hashing.canonicalize_caption (NFC + casefold + collapse of
 # Python str.split() whitespace).  The RE2 class is exactly the character set

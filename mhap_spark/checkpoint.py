@@ -101,35 +101,53 @@ class CheckpointStore:
         is derived from the re-read files, so the manifest describes the
         partitions actually materialized on disk, not a pre-write shadow
         evaluation (round-1 ADVICE fix)."""
+        import fcntl
+
         spark = df.sparkSession
-        # invalidate BEFORE the overwrite: a crash between the data write and
-        # the manifest update must leave NO entry for this stage (→ recompute
-        # on resume) — never a stale entry whose config_hash still matches a
-        # previous run while the directory holds partial data from this one
-        self._update_manifest(lambda m: m.pop(stage, None))
-        if self.fmt == "iceberg":
-            df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
-            out = spark.read.table(self._table(stage))
-        else:
-            path = os.path.join(self.base_dir, stage)
-            df.write.mode("overwrite").parquet(path)
-            out = spark.read.parquet(path)
-        if partition_lineage:
-            lineage_df = out.groupBy(F.spark_partition_id().alias("part_id")).agg(
-                F.count(F.lit(1)).alias("rows")
-            )
-            lineage = {str(r["part_id"]): int(r["rows"]) for r in lineage_df.collect()}
-        else:
-            lineage = None
-        entry = {
-            "config_hash": config_hash,
-            "rows": sum(lineage.values()) if lineage else out.count(),
-            "partitions": lineage,
-            "run_id": self.run_id,
-            "written_at": time.time(),
-            "format": self.fmt,
-        }
-        self._update_manifest(lambda m: m.__setitem__(stage, entry))
+        # Per-stage writer lock, held across the WHOLE write: the manifest
+        # flock makes each read-modify-write atomic, but invalidating the
+        # entry before a minutes-long data overwrite means a concurrent run
+        # sharing base_dir sees has()==False and starts its own overwrite of
+        # the SAME stage directory — two interleaved delete/rename storms on
+        # one path.  Serializing writers here turns that into write-then-
+        # overwrite (wasted work for the loser, never corruption).  Crash
+        # safety is unchanged: flocks die with the process.
+        with open(
+            os.path.join(self.base_dir, f".{stage.replace(os.sep, '_')}.write.lock"),
+            "w",
+        ) as wlk:
+            fcntl.flock(wlk, fcntl.LOCK_EX)
+            # invalidate BEFORE the overwrite: a crash between the data write
+            # and the manifest update must leave NO entry for this stage
+            # (→ recompute on resume) — never a stale entry whose config_hash
+            # still matches a previous run while the directory holds partial
+            # data from this one
+            self._update_manifest(lambda m: m.pop(stage, None))
+            if self.fmt == "iceberg":
+                df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
+                out = spark.read.table(self._table(stage))
+            else:
+                path = os.path.join(self.base_dir, stage)
+                df.write.mode("overwrite").parquet(path)
+                out = spark.read.parquet(path)
+            if partition_lineage:
+                lineage_df = out.groupBy(F.spark_partition_id().alias("part_id")).agg(
+                    F.count(F.lit(1)).alias("rows")
+                )
+                lineage = {
+                    str(r["part_id"]): int(r["rows"]) for r in lineage_df.collect()
+                }
+            else:
+                lineage = None
+            entry = {
+                "config_hash": config_hash,
+                "rows": sum(lineage.values()) if lineage else out.count(),
+                "partitions": lineage,
+                "run_id": self.run_id,
+                "written_at": time.time(),
+                "format": self.fmt,
+            }
+            self._update_manifest(lambda m: m.__setitem__(stage, entry))
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:

@@ -115,15 +115,21 @@ def minhash_lsh_doc_pairs(
 
     if cfg is None:
         # unknown-scale entry point: resolve the broadcast-safety rule from
-        # the ACTUAL input size (one cheap count job) rather than assuming
-        # the small-corpus demo shape — a multi-million-row df through the
-        # hints-off path is exactly the round-4 AQE-broadcast-OOM cliff
+        # the ACTUAL input size rather than assuming the small-corpus demo
+        # shape — a multi-million-row df through the hints-off path is
+        # exactly the round-4 AQE-broadcast-OOM cliff.  The question is
+        # only "≥ 1M rows?", so count through a limit at the threshold:
+        # Spark stops feeding the count once the limit is hit, instead of
+        # executing the (possibly expensive derived) upstream plan in full
+        # a second time just to learn a number we only compare to 1M
         cfg = MhapConfig(
             num_hashes=128,
             rows_per_band=4,
             num_min_matches=2,
             use_phash_shingles=False,
-            no_broadcast_hints=hints_default_for_rows(df.count()),
+            no_broadcast_hints=hints_default_for_rows(
+                df.limit(1_000_000).count()
+            ),
         )
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),

@@ -147,12 +147,16 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 except Exception as e:
                     # passthrough rows keep the ORIGINAL blob — their w/h
                     # must describe those bytes (the source dims), not the
-                    # target dims the resize never reached
-                    out_rows["bytes"].append(bytes(blob))
+                    # target dims the resize never reached.  Null-safe on
+                    # every source column: a corrupt row with NULL bytes or
+                    # NULL dims must become a resize_ok=false DATA row, not
+                    # a second exception that escapes the handler and kills
+                    # the whole task (losing the batch's good rows with it)
+                    out_rows["bytes"].append(bytes(blob) if blob is not None else None)
                     out_rows["resize_ok"].append(False)
                     out_rows["error"].append(str(e))
-                    out_rows["w"].append(int(src_w))
-                    out_rows["h"].append(int(src_h))
+                    out_rows["w"].append(int(src_w) if pd.notna(src_w) else None)
+                    out_rows["h"].append(int(src_h) if pd.notna(src_h) else None)
                 out_rows["image_id"].append(img_id)
                 out_rows["fmt"].append(fmt)
             yield pd.DataFrame(out_rows)

@@ -177,14 +177,19 @@ class IncrementalDedup:
         freq: FreqTable | None = None,
         cache_index: bool = False,
         band_index: bool = False,
-        id_pushdown_cap: int = 100_000,
+        id_pushdown_cap: int | None = None,
     ):
         self.base_dir = base_dir
         self.cfg = cfg
         self.freq = freq
         # band-index verify side: matched ids at or below this count are
         # pushed into the signature scan as an In filter (row-group pruning);
-        # above it the left-semi join applies (no driver-side id set)
+        # above it the left-semi join applies (no driver-side id set).
+        # None (default) derives the cap from the session's
+        # spark.sql.parquet.pushdown.inFilterThreshold — ABOVE that
+        # threshold Spark rewrites the pushed predicate to a min/max RANGE
+        # filter, which cannot prune ids spread across the table, so a
+        # bigger cap would ship ids to the driver for no pruning in return
         self.id_pushdown_cap = id_pushdown_cap
         # the band-index probe never reads the signature-slice cache, so
         # pinning a per-batch slice every micro-batch would grow executor
@@ -284,20 +289,28 @@ class IncrementalDedup:
                     F.col("batch_id") < F.lit(batch_id)
                 )
                 # fetch the matched index arrays with a PUSHED-DOWN id
-                # filter when the per-batch match set is small (the common
-                # case): ``found`` is already materialized (localCheckpoint
-                # in probe), so listing its distinct index ids is a cheap
-                # local job, and an In(image_id, …) predicate reaches the
-                # parquet row-group stats — on an image_id-sorted/bucketed
+                # filter when the match set is lookup-sized: ``found`` is
+                # already materialized (localCheckpoint in probe), so
+                # listing its distinct index ids is a cheap local job, and
+                # an In(image_id, …) predicate reaches the parquet
+                # row-group stats — on an image_id-sorted/bucketed
                 # signature table the verify side then reads a handful of
                 # row groups instead of scanning the whole table per batch.
-                # Above the cap (adversarial dup-flood batches) fall back to
-                # the semi-join, which never holds the id set on the driver.
+                # The cap tracks the parquet In-pushdown threshold: above
+                # it Spark pushes only a min/max range (no pruning for
+                # spread ids), so wider batches take the semi-join, which
+                # never holds the id set on the driver.
+                cap = self.id_pushdown_cap
+                if cap is None:
+                    cap = int(
+                        spark.conf.get(
+                            "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+                        )
+                    )
                 ids = [
-                    r["image_id"]
-                    for r in matched_ids.limit(self.id_pushdown_cap + 1).collect()
+                    r["image_id"] for r in matched_ids.limit(cap + 1).collect()
                 ]
-                if len(ids) <= self.id_pushdown_cap:
+                if len(ids) <= cap:
                     # ≤ cap rows under limit(cap+1) ⇒ this IS the full set
                     hit = (
                         indexed.where(F.col("image_id").isin(ids)) if ids else None

@@ -137,6 +137,30 @@ def test_resize_failed_rows_keep_source_dims(spark):
     assert bytes(r["bytes"]) == b"\x00\x01"
 
 
+def test_resize_null_columns_become_data_rows(spark):
+    """Corrupt rows with NULL dims or NULL bytes must surface as
+    resize_ok=false DATA rows — a second exception escaping the handler
+    would kill the task and lose the batch's GOOD rows with it."""
+    rows = [
+        ("null_dims", bytearray(b"\x00\x01"), None, None, "jpeg", "cap", 0),
+        ("null_bytes", None, 8, 8, "jpeg", "cap", 0),
+        ("good", None, None, None, "qpng", "cap", 0),
+    ]
+    # give 'good' a real decodable blob so the mixed batch proves survival
+    from mhap_spark.codecs import encode_image
+
+    px = np.full((8, 8, 3), 9, dtype=np.uint8)
+    rows[2] = ("good", bytearray(encode_image(px, "qpng")), 8, 8, "qpng", "cap", 0)
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL).coalesce(1)  # ONE batch
+    got = {r["image_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert len(got) == 3
+    assert not got["null_dims"]["resize_ok"]
+    assert got["null_dims"]["w"] is None and got["null_dims"]["h"] is None
+    assert not got["null_bytes"]["resize_ok"]
+    assert got["null_bytes"]["bytes"] is None
+    assert got["good"]["resize_ok"] and (got["good"]["w"], got["good"]["h"]) == (4, 4)
+
+
 def test_frame_sample_zero_frame_avi_surfaces(spark):
     """An AVI with a valid header but zero frame chunks must emit a
     decode_ok=false row, not silently vanish from the output.

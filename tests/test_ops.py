@@ -374,3 +374,37 @@ def test_ann_and_textstats_accept_string_ids(spark):
     assert {r["doc_id"] for r in lang} == {"imgA", "imgB"}
     fp = fingerprint(tdf, id_col="image_id").collect()
     assert {r["doc_id"] for r in fp} == {"imgA", "imgB"}
+
+
+def test_normalized_text_matches_duckdb_norm_replica(spark):
+    """The engine's canonical text form (dedup.normalized_text: lower →
+    collapse \\s+ → trim) and the contract oracles' DuckDB ``_NORM``
+    expression must agree byte-for-byte — INCLUDING edge tabs/newlines,
+    where trim-before-collapse would leave a residual edge space the
+    engine never produces (post-review pin; the corpus itself has no
+    edge whitespace, so only a direct pin catches drift here)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from mhap_spark.ops.dedup import normalized_text
+
+    texts = [
+        "hello\tworld\n",
+        "\t leading tab",
+        "trailing newline\n\n",
+        "\x0bvertical\x0btab\x0b",
+        "  double  spaces  ",
+        "mixed \t\n\x0c\r all",
+        "",
+        " \t\n ",
+        "UPPER Case",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    engine = [
+        r["n"] for r in df.select(normalized_text(F.col("text")).alias("n")).collect()
+    ]
+    oracle = [
+        duckdb.sql(f"SELECT {entry._NORM} FROM (SELECT ? AS text)", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    assert engine == oracle

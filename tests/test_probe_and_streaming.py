@@ -320,7 +320,11 @@ def test_band_index_id_pushdown_equivalent(spark, tmp_path):
     physical shapes: the In(image_id, …) filter pushed into the signature
     scan (small match sets — row-group pruning at scale) and the left-semi
     fallback above the cap (no driver-side id set).  cap=0 forces every
-    batch through the fallback; the default cap covers every batch here."""
+    batch through the fallback; the explicit large cap forces every batch
+    through the isin path (the production default tracks the parquet
+    In-pushdown threshold, above which Spark would push only a min/max
+    range — the semantics are identical either way, which is what this
+    pins)."""
     corpus = generate_corpus(160, seed=13)
     rows = corpus_to_rows(corpus)
     chunks = [rows[i * 40 : (i + 1) * 40] for i in range(4)]
