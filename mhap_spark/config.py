@@ -14,6 +14,16 @@ import json
 from dataclasses import asdict, dataclass, field, replace
 
 
+def band_count_for(num_hashes: int, rows_per_band: int, num_bands: int) -> int:
+    """Effective LSH band count: ``num_hashes // rows_per_band`` full bands,
+    optionally subsampled to the first ``num_bands`` (> 0).  Single source of
+    truth — shared by ``MhapConfig.band_count`` and the minhash kernel's
+    ``band_hashes`` so the engine and the oracle can never disagree on which
+    bands exist."""
+    full = num_hashes // rows_per_band
+    return min(num_bands, full) if num_bands > 0 else full
+
+
 @dataclass(frozen=True)
 class MhapConfig:
     # --- shingling (mhap/main/MhapMain.java:75 k=16) ---
@@ -171,8 +181,7 @@ class MhapConfig:
     salt_buckets: int = 8            # salt fan-out for hot-band pair generation
 
     def band_count(self) -> int:
-        full = self.num_hashes // self.rows_per_band
-        return min(self.num_bands, full) if self.num_bands > 0 else full
+        return band_count_for(self.num_hashes, self.rows_per_band, self.num_bands)
 
     def min_band_matches(self) -> int:
         """Vote gate in band units: with r slots per band, m shared slots

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mhap_spark.config import MhapConfig
+from mhap_spark.config import MhapConfig, band_count_for
 from mhap_spark.freq import FreqTable
 from mhap_spark.hashing import fmix64
 from mhap_spark.shingles import batch_shingles, distinct_per_row, shingle_input
@@ -145,9 +145,18 @@ def batch_minhash(
         x = keys.astype(np.uint64, copy=True)
     tmp = np.empty(n_keys, dtype=np.uint64)
 
-    seg = np.minimum(row_starts[:-1], n_keys - 1)
     counts = np.diff(row_starts)
     empty_rows = counts == 0
+    # reduceat runs over the NON-EMPTY rows' starts only: each is < n_keys
+    # and strictly increasing, and each segment ends exactly at the next
+    # non-empty row's start (empty rows share their successor's offset) or
+    # at the end of the array.  Clamping the raw starts instead — the old
+    # form, np.minimum(row_starts[:-1], n_keys - 1) — truncated the LAST
+    # non-empty row's segment whenever the batch ended with zero-shingle
+    # rows, dropping its final key from every per-slot min (silent
+    # signature corruption at Arrow batch boundaries; pinned by
+    # tests/test_engine_parity.py::test_trailing_empty_rows_batch_boundary).
+    nz_starts = row_starts[:-1][~empty_rows]
     ar = np.arange(n_rows)
 
     with np.errstate(over="ignore"):
@@ -165,10 +174,10 @@ def batch_minhash(
                     _xorshift_inplace(x[:c], tmp[:c])
                     np.minimum(best[:c], x[:c].view(np.int64), out=best[:c])
                 best_k = best[inv]
-            # per-row segment min + winner index (reduceat needs in-bounds
-            # starts; empty-row results are overwritten below)
-            row_min = np.minimum.reduceat(best_k, seg)
-            row_min[empty_rows] = _INT64_MAX
+            # per-row segment min + winner index (empty rows have no
+            # segment and keep the sentinel; their sig is zeroed below)
+            row_min = np.full(n_rows, _INT64_MAX, dtype=np.int64)
+            row_min[~empty_rows] = np.minimum.reduceat(best_k, nz_starts)
             is_win = best_k == np.repeat(row_min, counts)
             win_pos = np.flatnonzero(is_win)
             win_rows = rows[win_pos]
@@ -190,9 +199,7 @@ def band_hashes(sig: np.ndarray, rows_per_band: int, num_bands: int = 0) -> np.n
     key commits to (band index, all r slot values)."""
     n, h = sig.shape
     r = rows_per_band
-    nb = h // r
-    if num_bands > 0:
-        nb = min(num_bands, nb)
+    nb = band_count_for(h, r, num_bands)
     u = np.ascontiguousarray(sig[:, : nb * r]).view(np.uint32).astype(np.uint64)
     u = u.reshape(n, nb, r)
     acc = np.tile((np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _GOLDEN, (n, 1))

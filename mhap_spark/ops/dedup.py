@@ -134,7 +134,12 @@ def minhash_lsh_doc_pairs(
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),
         F.col(text_col).alias("caption"),
-        F.lit(0).cast("long").alias("phash"),
+        # NULL, not 0: documents have no phash, and shingle_input treats a
+        # null phash as "no phash shingles".  A literal 0 would count as a
+        # REAL phash under any caller-passed cfg with use_phash_shingles=True,
+        # giving every document the same phash bit-n-grams — manufactured
+        # cross-document overlap skewing signatures and band buckets
+        F.lit(None).cast("long").alias("phash"),
     )
     sigs = compute_signatures(src, cfg, freq=None)
     return candidate_pairs(sigs, cfg).withColumnsRenamed(

@@ -78,13 +78,25 @@ def image_stats(df: DataFrame) -> DataFrame:
                     "dec_h": h,
                     "mean_luma": luma,
                     "phash_recomputed": ph,
-                    "phash_matches": ok & (ph == pdf["phash"].to_numpy(dtype=np.int64)),
+                    # stored phash arrives coalesced + null-flagged JVM-side
+                    # (see the select below): a nullable long column with any
+                    # null in the batch converts Arrow→pandas as float64,
+                    # where values > 2^53 (nearly all phash64 outputs) lose
+                    # low bits and the NaN casts to garbage — the same hazard
+                    # shingles.shingle_input coalesces against
+                    "phash_matches": ok
+                    & ~pdf["phash_is_null"].to_numpy(dtype=bool)
+                    & (ph == pdf["phash"].to_numpy(dtype=np.int64)),
                 }
             )
 
-    return df.select("image_id", "bytes", "fmt", "phash").mapInPandas(
-        gen, IMAGE_STATS_SCHEMA
-    )
+    return df.select(
+        "image_id",
+        "bytes",
+        "fmt",
+        F.coalesce(F.col("phash"), F.lit(0)).alias("phash"),
+        F.col("phash").isNull().alias("phash_is_null"),
+    ).mapInPandas(gen, IMAGE_STATS_SCHEMA)
 
 
 def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -125,7 +125,11 @@ def weighted_minhash(
     for h in shingles.tolist():
         order[h] = order.get(h, 0) + 1
     if not order:
-        raise ValueError("zero shingles in row")
+        # mirror the engine (minhash.batch_minhash): a zero-shingle row gets
+        # an all-zeros signature and continues — raising here would make the
+        # oracle unable to replicate the engine on exactly the degenerate
+        # rows (empty caption + null phash) where batch-boundary bugs live
+        return np.zeros(cfg.num_hashes, dtype=np.int32)
 
     keys = np.array(list(order.keys()), dtype=np.uint64)
     tfs = np.array(list(order.values()), dtype=np.int64)
@@ -294,7 +298,9 @@ def run_pipeline(corpus: dict, cfg: MhapConfig):
         for c, p in zip(corpus["caption"], corpus["phash"])
     ]
     freq = None
-    if cfg.repeat_weight >= 0.0:
+    # same gate as the engine (pipeline.run_pipeline): compute_weights reads
+    # the df table only for 0 ≤ repeat_weight < 1 — ≥ 1.0 is plain tf
+    if 0.0 <= cfg.repeat_weight < 1.0:
         freq = FreqFilter(
             df_ratio_table(shingle_sets, ids=ids, sample_mod=cfg.freq_sample_mod),
             cfg,

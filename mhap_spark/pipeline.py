@@ -59,9 +59,12 @@ def run_pipeline(
         signatures = store.read(spark, "signatures")
     else:
         freq = None
-        if cfg.repeat_weight >= 0.0:
+        if 0.0 <= cfg.repeat_weight < 1.0:
             # one-job corpus-stats pass (scan + Arrow kernel execute once;
-            # doc-count markers ride the same shuffle)
+            # doc-count markers ride the same shuffle).  Gate mirrors
+            # batch_weights' consumption exactly: repeat_weight ≥ 1.0 takes
+            # the plain-tf branch and never reads the table, so computing it
+            # there would be one full wasted corpus scan per run
             freq = FreqTable.compute(input_df, cfg)
         signatures = compute_signatures(input_df, cfg, freq)
         if store is not None:

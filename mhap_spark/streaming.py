@@ -179,6 +179,20 @@ class IncrementalDedup:
         band_index: bool = False,
         id_pushdown_cap: int | None = None,
     ):
+        if cfg.candidate_mode == "star":
+            # star emission is hub-mediated: members connect only THROUGH the
+            # bucket hub, and the transitive edges are closed by the batch
+            # pipeline's CC stage — which this sink does not run.  Accepting
+            # it silently would make per-batch match output depend on arrival
+            # batching (intra-batch hub edges at star_min_votes vs cross-batch
+            # probe pairs at min_band_matches()), violating the documented
+            # complete-coverage contract.  Same loud-rejection discipline as
+            # candidates.candidate_pairs' min_store+star check.
+            raise ValueError(
+                "IncrementalDedup requires candidate_mode='pairs': star-mode "
+                "hub edges need the CC stage to close transitive matches, "
+                "which the streaming sink does not run"
+            )
         self.base_dir = base_dir
         self.cfg = cfg
         self.freq = freq

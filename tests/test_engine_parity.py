@@ -316,3 +316,49 @@ def test_lsh_banding_r_gt_1_matches_oracle(spark, corpus, input_df, oracle_state
     for k in want_v:
         assert got_v[k][0] == want_v[k][0]
         assert got_v[k][1] == pytest.approx(want_v[k][1], abs=1e-12)
+
+
+def test_trailing_empty_rows_batch_boundary(spark):
+    """An Arrow batch ENDING in zero-shingle rows must not corrupt the last
+    non-empty row's signature: the pre-round-5 reduceat-start clamp truncated
+    that row's segment, dropping its final distinct key from every per-slot
+    min (wrong slots → wrong band hashes → missed/spurious candidates,
+    dependent on which rows sat at an Arrow batch boundary)."""
+    from mhap_spark.minhash import batch_minhash
+
+    # kernel level: rows followed by trailing/middle empty rows keep
+    # bit-exact signatures, empty rows get zeros
+    rng = np.random.default_rng(7)
+    keys = rng.integers(1, 2**63, size=5, dtype=np.uint64)
+    rows = np.array([0, 0, 0, 1, 1])
+    for w in (np.ones(5, dtype=np.int64), np.array([3, 1, 2, 1, 2], dtype=np.int64)):
+        alone = batch_minhash(rows, keys, w, np.array([0, 3, 5]), 64)
+        trail = batch_minhash(rows, keys, w, np.array([0, 3, 5, 5, 5]), 64)
+        assert (trail[:2] == alone).all() and (trail[2:] == 0).all()
+        mid = batch_minhash(
+            np.array([0, 0, 0, 2, 2]), keys, w, np.array([0, 3, 3, 5]), 64
+        )
+        assert (mid[[0, 2]] == alone).all() and (mid[1] == 0).all()
+
+    # end to end: zero-shingle rows (empty caption + null phash) at the tail
+    # of a single-partition batch; non-degenerate rows must stay bit-exact
+    # with the per-row oracle, degenerate rows get the zeroed signature
+    cfg = MhapConfig(num_hashes=64)
+    rows_in = [
+        ("a", None, 0, 0, "raw", "a sunny beach with palm trees", 12345),
+        ("b", None, 0, 0, "raw", "snowy mountain peaks at dawn today", None),
+        ("empty1", None, 0, 0, "raw", "", None),
+        ("empty2", None, 0, 0, "raw", "", None),
+    ]
+    df = spark.createDataFrame(rows_in, INPUT_SCHEMA_DDL).coalesce(1)
+    got = compute_signatures(df, cfg, freq=None).toPandas().set_index("image_id")
+    cap_only = cfg.with_overrides(use_phash_shingles=False)
+    want_a = oracle.weighted_minhash(oracle.row_shingles(rows_in[0][5], 12345, cfg), cfg, None)
+    want_b = oracle.weighted_minhash(oracle.row_shingles(rows_in[1][5], 0, cap_only), cfg, None)
+    assert np.array_equal(np.array(got.loc["a", "sig"], dtype=np.int32), want_a)
+    assert np.array_equal(np.array(got.loc["b", "sig"], dtype=np.int32), want_b)
+    for rid in ("empty1", "empty2"):
+        assert got.loc[rid, "n_shingles"] == 0
+        assert not any(got.loc[rid, "sig"])
+    # the oracle mirrors the zeroed degenerate signature (no raise)
+    assert not oracle.weighted_minhash(np.empty(0, dtype=np.uint64), cfg, None).any()

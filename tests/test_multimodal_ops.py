@@ -193,3 +193,28 @@ def test_frame_sample_zero_frame_avi_surfaces(spark):
     got = frame_sample(df, n_frames=4).collect()
     assert len(got) == 1
     assert got[0]["image_id"] == "noframes" and not got[0]["decode_ok"]
+
+
+def test_image_stats_null_phash_batch_safe(spark, img_df):
+    """One NULL stored phash in a batch must not poison the batch: before the
+    round-5 fix the whole phash column round-tripped Arrow→pandas as float64
+    (values > 2^53 lose low bits → false mismatches for CORRECT rows) and the
+    NaN cast to garbage.  Null rows report phash_matches=false; every other
+    row's verdict must equal the all-non-null run's."""
+    from pyspark.sql import functions as F
+
+    from mhap_spark.ops.multimodal import image_stats
+
+    base = {r["image_id"]: r["phash_matches"] for r in image_stats(img_df).collect()}
+    assert all(base.values())  # synth corpus stores its real phash
+
+    null_id = sorted(base)[0]
+    mixed_df = img_df.withColumn(
+        "phash",
+        F.when(F.col("image_id") == null_id, F.lit(None)).otherwise(F.col("phash")),
+    ).coalesce(1)  # one partition → the null shares an Arrow batch with all rows
+    mixed = {r["image_id"]: r for r in image_stats(mixed_df).collect()}
+    assert mixed[null_id]["decode_ok"] and not mixed[null_id]["phash_matches"]
+    for rid, want in base.items():
+        if rid != null_id:
+            assert mixed[rid]["phash_matches"] == want, rid

@@ -408,3 +408,24 @@ def test_normalized_text_matches_duckdb_norm_replica(spark):
         for t in texts
     ]
     assert engine == oracle
+
+
+def test_minhash_doc_pairs_phash_cfg_no_manufactured_overlap(spark, docs):
+    """Documents have no phash, so a caller-passed cfg that leaves
+    use_phash_shingles=True (the MhapConfig default) must see NULL phash —
+    the pre-round-5 F.lit(0) placeholder counted as a REAL shared phash,
+    handing every document the same bit-n-gram shingles (manufactured
+    overlap between unrelated texts)."""
+    from mhap_spark.config import MhapConfig
+
+    cfg = MhapConfig(num_hashes=128, rows_per_band=1, num_min_matches=1)
+    assert cfg.use_phash_shingles  # the hazard config: phash shingles on
+    got = {
+        (r["src_doc"], r["dst_doc"])
+        for r in minhash_lsh_doc_pairs(docs, cfg=cfg).collect()
+    }
+    assert ("0", "2") in got  # real near-dups still found
+    # unrelated docs must not pair even at the loosest vote gate: with the
+    # lit(0) placeholder they shared every phash shingle and always collided
+    for bad in (("3", "5"), ("5", "3"), ("3", "4"), ("4", "5")):
+        assert bad not in got

@@ -157,3 +157,18 @@ def test_config_hash_ignores_execution_only_knobs():
     )
     assert cfg.config_hash() == toggled.config_hash()
     assert cfg.config_hash() != cfg.with_overrides(num_hashes=cfg.num_hashes + 1).config_hash()
+
+
+def test_plain_tf_mode_skips_freq_table(spark, input_df, monkeypatch):
+    """repeat_weight ≥ 1.0 is plain-tf weighting: batch_weights never reads
+    the df table, so the pipeline must not spend a full corpus-stats pass
+    computing one (pre-round-5 it gated on repeat_weight ≥ 0 and did)."""
+    import mhap_spark.pipeline as pl
+
+    def _boom(*a, **k):  # any call = the wasted pass is back
+        raise AssertionError("FreqTable.compute called in plain-tf mode")
+
+    monkeypatch.setattr(pl.FreqTable, "compute", _boom)
+    cfg = CFG.with_overrides(repeat_weight=1.0)
+    out = run_pipeline(spark, input_df.limit(50), cfg)
+    assert out["signatures"].count() == 50

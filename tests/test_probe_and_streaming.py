@@ -407,3 +407,15 @@ def test_band_index_disables_slice_cache(tmp_path):
     assert sink.cache_index is False and sink.bindex is not None
     flat = IncrementalDedup(str(tmp_path), CFG, cache_index=True)
     assert flat.cache_index is True and flat.bindex is None
+
+
+def test_incremental_dedup_rejects_star_mode(tmp_path):
+    """Star emission needs the CC stage to close hub-mediated transitive
+    matches; the streaming sink runs no CC, so per-batch output would depend
+    on arrival batching.  Rejected loudly, like candidate_pairs rejects
+    min_store+star."""
+    from mhap_spark.config import PRESET_SCALE
+
+    assert PRESET_SCALE.candidate_mode == "star"
+    with pytest.raises(ValueError, match="candidate_mode='pairs'"):
+        IncrementalDedup(str(tmp_path), PRESET_SCALE)
