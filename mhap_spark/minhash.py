@@ -106,12 +106,65 @@ def batch_minhash(
     weights: np.ndarray,
     row_starts: np.ndarray,
     num_hashes: int,
+    block_keys_base: int | None = None,
 ) -> np.ndarray:
-    """Weighted MinHash over a whole batch at once.
+    """Weighted MinHash over a whole batch — cache-blocked by ROWS.
 
     rows/keys/weights: flat per-(row,distinct-shingle) arrays (rows ascending);
     row_starts: (n_rows+1) segment offsets into them.
     Returns (n_rows, num_hashes) int32 signature matrix.
+
+    Rows are mutually independent, so the batch is split into row groups of
+    ~``_BLOCK_KEYS_BASE`` keys and each group runs the full ``num_hashes``
+    slot chain on L2-resident state (a 10k-row Arrow batch carries ~1M keys
+    = 8 MB of stream state; at that size every one of the ~10 elementwise
+    passes per slot round-trips DRAM, and the measured single-thread cost
+    drops 1.6–1.7× when the state fits the 2 MB/core L2 — more under
+    32-thread saturation, where DRAM contention is the measured scaling
+    limiter, BENCH/BASELINE.md).  The block target scales with max-weight:
+    the weighted path makes ``max_w`` shrinking-prefix numpy calls per
+    slot, so smaller blocks raise fixed per-call overhead proportionally
+    (measured: 32k keys best at max_w ≤ 4, 256k at max_w = 32).  Results
+    are bit-identical to the unblocked form by construction (per-row
+    outputs never see other rows); pinned by
+    tests/test_engine_parity.py::test_row_blocked_minhash_identical.
+    """
+    n_rows = len(row_starts) - 1
+    n_keys = len(keys)
+    max_w = int(weights.max()) if n_keys else 1
+    base = _BLOCK_KEYS_BASE if block_keys_base is None else block_keys_base
+    target = base * max(1, -(-max_w // 4))  # ceil(max_w/4)
+    if n_keys <= target:
+        return _minhash_block(rows, keys, weights, row_starts, num_hashes)
+    sig = np.empty((n_rows, num_hashes), dtype=np.int32)
+    lo = 0
+    while lo < n_rows:
+        hi = lo + 1
+        while hi < n_rows and row_starts[hi + 1] - row_starts[lo] <= target:
+            hi += 1
+        a, b = row_starts[lo], row_starts[hi]
+        sig[lo:hi] = _minhash_block(
+            rows[a:b] - lo,
+            keys[a:b],
+            weights[a:b],
+            row_starts[lo : hi + 1] - a,
+            num_hashes,
+        )
+        lo = hi
+    return sig
+
+
+_BLOCK_KEYS_BASE = 32_000  # ≈512 KB of (state + tmp + best) per block
+
+
+def _minhash_block(
+    rows: np.ndarray,
+    keys: np.ndarray,
+    weights: np.ndarray,
+    row_starts: np.ndarray,
+    num_hashes: int,
+) -> np.ndarray:
+    """One row block of :func:`batch_minhash` (semantics doc there).
 
     Weighted stepping runs over keys sorted by weight DESCENDING, so the
     keys still active at step s are the contiguous prefix [:cnt_s] — plain
@@ -219,6 +272,10 @@ def compute_signatures(
     k_bottom = cfg.ordered_sketch_size
     num_hashes = cfg.num_hashes
     rpb = cfg.rows_per_band
+    # captured at plan-build time so the closure carries it to executors
+    # (module-global lookup inside the worker would re-import the default —
+    # this is what lets bench A/Bs toggle blocking from the driver)
+    blk = _BLOCK_KEYS_BASE
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,7 +284,9 @@ def compute_signatures(
             )
             rows, keys, tfs, row_starts = distinct_per_row(flat, offs)
             weights = batch_weights(keys, tfs, cfg, freq)
-            sig = batch_minhash(rows, keys, weights, row_starts, num_hashes)
+            sig = batch_minhash(
+                rows, keys, weights, row_starts, num_hashes, block_keys_base=blk
+            )
             bands = band_hashes(sig, rpb, cfg.num_bands)
             keys_signed = keys.view(np.int64)
             n = len(pdf)

@@ -362,3 +362,37 @@ def test_trailing_empty_rows_batch_boundary(spark):
         assert not any(got.loc[rid, "sig"])
     # the oracle mirrors the zeroed degenerate signature (no raise)
     assert not oracle.weighted_minhash(np.empty(0, dtype=np.uint64), cfg, None).any()
+
+
+def test_row_blocked_minhash_identical():
+    """The L2-blocked batch_minhash must be bit-identical to the unblocked
+    kernel on the same flat arrays — rows are independent, so blocking by
+    rows may not change a single slot.  Covers: multi-block splits, a row
+    bigger than the block target on its own, empty rows at block edges,
+    and both the weight-1 fast path and the weighted prefix path."""
+    import mhap_spark.minhash as mh
+
+    rng = np.random.default_rng(11)
+    n_rows = 400
+    counts = rng.integers(0, 60, size=n_rows)
+    counts[7] = 3000  # one row alone larger than the forced block target
+    counts[[0, 1, 150, 398, 399]] = 0  # empty rows incl. both edges
+    row_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_starts[1:])
+    n_keys = int(row_starts[-1])
+    keys = rng.integers(1, 2**63, size=n_keys, dtype=np.uint64)
+    rows = np.repeat(np.arange(n_rows), counts)
+    for w in (
+        np.ones(n_keys, dtype=np.int64),
+        rng.integers(1, 4, size=n_keys, dtype=np.int64),
+    ):
+        want = mh._minhash_block(rows, keys, w, row_starts, 32)
+        got = mh.batch_minhash(rows, keys, w, row_starts, 32)
+        assert np.array_equal(got, want)
+        old = mh._BLOCK_KEYS_BASE
+        mh._BLOCK_KEYS_BASE = 512  # force many tiny blocks + the giant row
+        try:
+            forced = mh.batch_minhash(rows, keys, w, row_starts, 32)
+        finally:
+            mh._BLOCK_KEYS_BASE = old
+        assert np.array_equal(forced, want)
