@@ -289,6 +289,25 @@ def _q_quantity_price_corr(spark, sf_dir):
     )
 
 
+def _q_histogram_stats(spark, sf_dir):
+    """GetHistogramStats semantics (mhap/main/GetHistogramStats.java:63-90)
+    over the l_quantity value histogram: count-weighted mean, population
+    stdev, and the smallest value whose running value·count mass (ascending)
+    exceeds 99% of the total — the reference's auto-filter-threshold
+    workflow, driven by freq.histogram_stats."""
+    from mhap_spark.freq import histogram_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return histogram_stats(hist, percent=0.99).select(
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.col("cut").cast("double").alias("cut"),
+    )
+
+
 def _q_pair_identity_scores(spark, sf_dir):
     """Mash identity transform (mhap/sketch/BottomOverlapSketch.java:391-395)
     applied to word-Jaccard pairs — scalar-function parity check."""
@@ -918,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_type": _q_median_value_by_type,
         "pair_identity_scores": _q_pair_identity_scores,
         "quantity_price_corr": _q_quantity_price_corr,
+        "histogram_stats": _q_histogram_stats,
         "roc_stats_synth": _q_roc_stats_synth,
         "lang_id": _q_lang_id,
         # rows-only (sketch/hash-dependent or synthetic-input)
@@ -1307,6 +1327,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_discount,
                    round(stddev_samp(l_discount), 6) AS sd_discount
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram_stats": """
+            WITH h AS (
+              SELECT l_quantity::DOUBLE AS val, count(*)::DOUBLE AS cnt
+              FROM lineitem GROUP BY l_quantity),
+            t AS (
+              SELECT sum(val*cnt) AS mass, sum(cnt) AS total,
+                     sum(val*cnt)/sum(cnt) AS mean FROM h),
+            c AS (
+              SELECT val, cnt,
+                     sum(val*cnt) OVER (ORDER BY val ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run_mass
+              FROM h)
+            SELECT round(t.mean, 6) AS mean,
+                   round(sqrt(sum(c.cnt * pow(c.val - t.mean, 2)) / t.total), 6)
+                     AS stdev,
+                   min(CASE WHEN c.run_mass / t.mass > 0.99 THEN c.val END)
+                     AS cut
+            FROM c, t
+            GROUP BY t.mean, t.mass, t.total
         """,
         "pair_identity_scores": f"""
             WITH w AS (
