@@ -219,8 +219,12 @@ def _minhash_block(
                 _xorshift_inplace(x, tmp)
                 best_k = x.view(np.int64)
             else:
-                best.fill(_INT64_MAX)
-                for s in range(max_w):
+                # step 0 covers EVERY key (cnt[0] == n_keys: weights ≥ 1),
+                # so the first "min" is just the advanced state — one copy
+                # instead of a sentinel fill plus a full-array minimum
+                _xorshift_inplace(x, tmp)
+                np.copyto(best, x.view(np.int64))
+                for s in range(1, max_w):
                     c = int(cnt[s])
                     if c == 0:
                         break
