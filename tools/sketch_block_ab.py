@@ -6,7 +6,7 @@ closure capture in compute_signatures (a module-global lookup inside the
 worker would re-import the default).  Asserts identical n_shingles
 checksums across every rep.
 
-Usage: python tools/sketch_block_ab.py [rows] [reps]
+Usage: python tools/sketch_block_ab.py [rows] [reps] [cores]
 """
 import json
 import os
@@ -26,7 +26,8 @@ from mhap_spark.synth import INPUT_SCHEMA_DDL, corpus_to_rows, generate_corpus
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    spark = build_session(master="local[32]")
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    spark = build_session(master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PRESET_SCALE
     df = (
@@ -60,7 +61,7 @@ def main() -> None:
         json.dumps(
             {
                 "rows": rows,
-                "cores": 32,
+                "cores": cores,
                 "reps": reps,
                 "blocked_s": res["blocked"],
                 "unblocked_s": res["unblocked"],
