@@ -132,6 +132,12 @@ def batch_minhash(
     n_rows = len(row_starts) - 1
     n_keys = len(keys)
     max_w = int(weights.max()) if n_keys else 1
+    if n_keys and int(weights.min()) < 1:
+        # every batch_weights path clamps to ≥ 1; the block kernel's step-0
+        # fast path (advance ALL keys, state IS the first min) relies on it.
+        # The pre-round-5 loop silently treated weight-0 keys as
+        # never-contributing — reject instead of silently changing that.
+        raise ValueError("batch_minhash requires weights >= 1 for every key")
     base = _BLOCK_KEYS_BASE if block_keys_base is None else block_keys_base
     target = base * max(1, -(-max_w // 4))  # ceil(max_w/4)
     if n_keys <= target:

@@ -396,3 +396,19 @@ def test_row_blocked_minhash_identical():
         finally:
             mh._BLOCK_KEYS_BASE = old
         assert np.array_equal(forced, want)
+
+
+def test_batch_minhash_rejects_zero_weights():
+    """All batch_weights paths clamp weights to >= 1, and the block kernel's
+    step-0 fast path relies on it (it advances EVERY key and takes the state
+    as the first min).  The old loop silently treated a weight-0 key as
+    never-contributing; a zero must now be rejected loudly, not silently
+    reinterpreted as weight 1."""
+    from mhap_spark.minhash import batch_minhash
+
+    keys = np.array([3, 5, 9], dtype=np.uint64)
+    rows = np.array([0, 0, 1])
+    starts = np.array([0, 2, 3])
+    w = np.array([1, 0, 2], dtype=np.int64)
+    with pytest.raises(ValueError, match="weights >= 1"):
+        batch_minhash(rows, keys, w, starts, 16)
