@@ -386,6 +386,28 @@ def _q_minhash_doc_pairs(spark, sf_dir):
     return minhash_lsh_doc_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_minhash_dedup_keep(spark, sf_dir):
+    """Keep/drop manifest — the end product of a training-data dedup pass
+    (MinHash pairs → connected components → canonical min-id
+    representative; ops/dedup.minhash_dedup_keep).  Hash-checked: the
+    oracle runs union-find over the SAME sequential pair replica that
+    backs minhash_doc_pairs, so the check covers the full
+    pairs → clusters → decision chain end to end."""
+    from mhap_spark.ops.dedup import minhash_dedup_keep
+
+    cfg = MhapConfig(
+        num_hashes=128,
+        rows_per_band=4,
+        num_min_matches=2,
+        use_phash_shingles=False,
+        no_broadcast_hints=hints_default_for_rows(500),
+    )
+    out = minhash_dedup_keep(_t(spark, sf_dir, "documents"), cfg=cfg)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "cluster_id", "keep"
+    )
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (GRAFT-HASH-1 k-gram bit votes) summarized as
     a Hamming histogram.  Oracle-hash-checked since round 4 via a
@@ -721,6 +743,22 @@ def _minhash_doc_pairs_oracle_sql() -> str:
     return _values_sql(rows, ["src_doc", "dst_doc", "votes"], "ssi")
 
 
+def _minhash_dedup_keep_oracle_sql() -> str:
+    """DuckDB oracle for minhash_dedup_keep: union-find with min-id roots
+    (oracle_ops.dedup_keep_rows) over the sequential candidate-pair
+    replica — an independent end-to-end recomputation of the keep
+    manifest, emitted as a VALUES literal."""
+    from mhap_spark import oracle_ops
+
+    ids, texts = _oracle_docs()
+    cfg = MhapConfig(
+        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
+    )
+    pairs = oracle_ops.minhash_doc_candidates(ids, texts, cfg)
+    rows = oracle_ops.dedup_keep_rows(ids, pairs)
+    return _values_sql(rows, ["doc_id", "cluster_id", "keep"], "ssb")
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB oracle for simhash_near_dup: brute-force sequential SimHash +
     Hamming histogram (oracle_ops.simhash_hamming_hist) — valid because the
@@ -944,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "cms_word_freq": _q_cms_word_freq,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
+        "minhash_dedup_keep": _q_minhash_dedup_keep,
         "simhash_near_dup": _q_simhash_near_dup,
         "substring_dup_docs": _q_substring_dup_docs,
         "doc_fingerprint": _q_fingerprint,
@@ -1380,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         # round 5 via the HLL++ replica
         "approx_distinct": _approx_distinct_oracle_sql(),
         "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql(),
+        "minhash_dedup_keep": _minhash_dedup_keep_oracle_sql(),
         "simhash_near_dup": _simhash_oracle_sql(),
         "cms_word_freq": _cms_oracle_sql(),
         "roc_stats_synth": _roc_stats_oracle_sql(),

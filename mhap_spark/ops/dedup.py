@@ -101,6 +101,26 @@ def word_jaccard_pairs(
     )
 
 
+def _doc_cfg(df: DataFrame) -> MhapConfig:
+    """Pure-text document config for the MinHash dedup surface.
+
+    Unknown-scale entry point: resolve the broadcast-safety rule from the
+    ACTUAL input size rather than assuming the small-corpus demo shape — a
+    multi-million-row df through the hints-off path is exactly the round-4
+    AQE-broadcast-OOM cliff.  The question is only "≥ 1M rows?", so count
+    through a limit at the threshold: Spark stops feeding the count once
+    the limit is hit, instead of executing the (possibly expensive derived)
+    upstream plan in full a second time just to learn a number we only
+    compare to 1M."""
+    return MhapConfig(
+        num_hashes=128,
+        rows_per_band=4,
+        num_min_matches=2,
+        use_phash_shingles=False,
+        no_broadcast_hints=hints_default_for_rows(df.limit(1_000_000).count()),
+    )
+
+
 def minhash_lsh_doc_pairs(
     df: DataFrame,
     cfg: MhapConfig | None = None,
@@ -114,23 +134,7 @@ def minhash_lsh_doc_pairs(
     from mhap_spark.minhash import compute_signatures
 
     if cfg is None:
-        # unknown-scale entry point: resolve the broadcast-safety rule from
-        # the ACTUAL input size rather than assuming the small-corpus demo
-        # shape — a multi-million-row df through the hints-off path is
-        # exactly the round-4 AQE-broadcast-OOM cliff.  The question is
-        # only "≥ 1M rows?", so count through a limit at the threshold:
-        # Spark stops feeding the count once the limit is hit, instead of
-        # executing the (possibly expensive derived) upstream plan in full
-        # a second time just to learn a number we only compare to 1M
-        cfg = MhapConfig(
-            num_hashes=128,
-            rows_per_band=4,
-            num_min_matches=2,
-            use_phash_shingles=False,
-            no_broadcast_hints=hints_default_for_rows(
-                df.limit(1_000_000).count()
-            ),
-        )
+        cfg = _doc_cfg(df)
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),
         F.col(text_col).alias("caption"),
@@ -144,6 +148,54 @@ def minhash_lsh_doc_pairs(
     sigs = compute_signatures(src, cfg, freq=None)
     return candidate_pairs(sigs, cfg).withColumnsRenamed(
         {"src": "src_doc", "dst": "dst_doc"}
+    )
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    cfg: MhapConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keep/drop decision — the actual OUTPUT of a
+    training-data dedup pass (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22): MinHash+LSH candidate pairs →
+    connected components → canonical representative per duplicate cluster.
+
+    Returns ``(id_col, cluster_id, keep)`` covering EVERY input row:
+    ``cluster_id`` = minimum member id of the row's duplicate component
+    (its own id for singletons — the same rule the pipeline's CC stage
+    pins, FIXTURES.md F4), ``keep`` = true iff the row IS its cluster's
+    canonical representative.  ``filter(keep)`` is the deduplicated
+    corpus; ``filter(~keep)`` joined back on ``cluster_id`` is the full
+    drop manifest with provenance.
+
+    Scale shape: stage 1 is the engine's bucketed candidate generation
+    (capped/salted band buckets, never all-pairs), CC is the
+    large-star/small-star loop whose shuffle width tracks the edge set,
+    and the final decision is one string comparison on the CC output — no
+    extra shuffle beyond the cluster join itself.  Min-id ordering is
+    BINARY string order on both the engine and oracle sides (Spark and
+    Python compare code points identically for the ASCII ids here)."""
+    from mhap_spark.cluster import connected_components
+
+    if cfg is None:
+        cfg = _doc_cfg(df)
+    pairs = minhash_lsh_doc_pairs(df, cfg, id_col, text_col)
+    edges = pairs.select(
+        F.col("src_doc").alias("src"), F.col("dst_doc").alias("dst")
+    )
+    verts = df.select(F.col(id_col).cast("string").alias("image_id"))
+    clusters = connected_components(
+        edges,
+        verts,
+        driver_finish_edges=cfg.cc_driver_finish_edges,
+        no_broadcast_hints=cfg.no_broadcast_hints,
+    )
+    return clusters.select(
+        F.col("image_id").alias(id_col),
+        "cluster_id",
+        (F.col("image_id") == F.col("cluster_id")).alias("keep"),
     )
 
 

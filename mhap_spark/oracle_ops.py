@@ -565,3 +565,37 @@ def hllpp_count_distinct(values, rsd: float = 0.05) -> int:
     else:
         est = e_bias_corrected(e_raw)
     return int(math.floor(est + 0.5))  # Java Math.round
+
+
+# ---------------------------------------------------------------------------
+# ops/dedup.minhash_dedup_keep replica: union-find with min-id roots over the
+# sequential candidate pair set (the same pairs minhash_doc_candidates
+# produces — already pinned set-exact vs the engine), then a keep decision
+# per input id.  Mirrors cluster.connected_components' component-min rule
+# (FIXTURES.md F4) in ~20 lines of pure Python.
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_rows(
+    doc_ids: list[str], pairs: list[tuple[str, str, int]]
+) -> list[tuple[str, str, bool]]:
+    """(doc_id, cluster_id = component min, keep = id == cluster_id) for
+    EVERY id in ``doc_ids`` — singletons (including docs that produced no
+    signature) map to themselves, exactly like the engine's vertex join."""
+    parent: dict[str, str] = {d: d for d in doc_ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _votes in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root: binary string order, same as Spark's ASCII compare
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(d, find(d), d == find(d)) for d in doc_ids]

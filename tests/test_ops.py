@@ -66,6 +66,31 @@ def test_minhash_doc_pairs_finds_near_dups(spark, docs):
     assert ("3", "5") not in got
 
 
+def test_minhash_dedup_keep_matches_replica(spark, docs):
+    """Engine keep-manifest ≡ sequential union-find replica over the
+    sequential pair replica, every row covered, keep ⇔ id == cluster min."""
+    from mhap_spark import oracle_ops
+    from mhap_spark.config import MhapConfig
+    from mhap_spark.ops.dedup import minhash_dedup_keep
+
+    cfg = MhapConfig(
+        num_hashes=128, rows_per_band=4, num_min_matches=2,
+        use_phash_shingles=False, no_broadcast_hints=False,
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in minhash_dedup_keep(docs, cfg=cfg).collect()
+    }
+    rows = docs.select(F.col("doc_id").cast("string"), "text").collect()
+    ids = [r["doc_id"] for r in rows]
+    pairs = oracle_ops.minhash_doc_candidates(ids, [r["text"] for r in rows], cfg)
+    want = {d: (c, k) for d, c, k in oracle_ops.dedup_keep_rows(ids, pairs)}
+    assert got == want
+    assert set(got) == set(ids)  # every input row decided
+    # 0/1/2 are the planted near-dup cluster: one keeper, min id
+    assert got["0"] == ("0", True) and not got["1"][1] and not got["2"][1]
+
+
 def test_simhash_properties(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs, k=4).collect()}
     ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
