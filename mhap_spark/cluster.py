@@ -141,6 +141,18 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     )
 
 
+def keep_manifest(clusters: DataFrame) -> DataFrame:
+    """(image_id, cluster_id) → (image_id, cluster_id, keep): the per-row
+    keep/drop decision a training-data dedup pass emits.  cluster_id is the
+    component minimum (FIXTURES.md F4), so the canonical representative is
+    exactly the row whose id IS its cluster_id — one codegen'd comparison,
+    no extra shuffle.  ``filter(keep)`` = deduplicated corpus;
+    ``filter(~keep)`` = drop manifest with cluster provenance."""
+    return clusters.withColumn(
+        "keep", F.col("image_id") == F.col("cluster_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame, vertices: DataFrame, max_iters: int = 50,
     check_every: int = 2, target_rows_per_task: int = 250_000,

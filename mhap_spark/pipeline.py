@@ -184,6 +184,13 @@ def _main() -> None:
         "(mhap/impl/MatchResult.java:98-113 layout) to this directory",
     )
     ap.add_argument(
+        "--keep-out",
+        default=None,
+        help="also write the per-row keep/drop manifest (image_id, "
+        "cluster_id, keep = is-canonical-representative) as parquet to "
+        "this directory — the dedup pass's end product",
+    )
+    ap.add_argument(
         "--auto-cutoff",
         type=float,
         default=None,
@@ -231,6 +238,12 @@ def _main() -> None:
 
         to_m4(out["pairs"], out["signatures"]).write.mode("overwrite").text(
             args.m4_out
+        )
+    if args.keep_out:
+        from mhap_spark.cluster import keep_manifest
+
+        keep_manifest(out["clusters"]).write.mode("overwrite").parquet(
+            args.keep_out
         )
     print(f"pairs={n_pairs} clusters={n_clusters}")
     spark.stop()

@@ -178,6 +178,7 @@ class IncrementalDedup:
         cache_index: bool = False,
         band_index: bool = False,
         id_pushdown_cap: int | None = None,
+        keep_manifest: bool = False,
     ):
         if cfg.candidate_mode == "star":
             # star emission is hub-mediated: members connect only THROUGH the
@@ -213,6 +214,20 @@ class IncrementalDedup:
         self._slices: list[tuple[int, DataFrame]] = []  # (batch_id, persisted df)
         self.sig_path = os.path.join(base_dir, "signatures")
         self.match_path = os.path.join(base_dir, "matches")
+        # keep_manifest=True: additionally write ``keep/batch_id=N`` with the
+        # FIRST-ARRIVAL keep/drop decision per arriving row — the streaming
+        # counterpart of cluster.keep_manifest.  A row is dropped iff it has
+        # a verified match to an earlier batch (first arrival wins) or to a
+        # smaller id within its own batch (ids tie-break inside a batch,
+        # where arrival order is undefined).  Production-streaming
+        # semantics: the index holds ALL seen rows — kept or dropped — so
+        # "duplicate of a dropped row" still drops (no transitive-closure
+        # canonicalization; the batch pipeline's CC keep_manifest is the
+        # closure-exact variant).  Cost: one re-read of the batch's just-
+        # written matches partition + one tiny per-batch write — off by
+        # default so the benched probe path is unchanged.
+        self.keep_manifest = keep_manifest
+        self.keep_path = os.path.join(base_dir, "keep")
         # band_index=True: cross-batch probing goes through the
         # band-partitioned inverted index (BandIndex) instead of re-reading
         # and re-shuffling the whole signature table — the 10^12-row layout.
@@ -350,6 +365,36 @@ class IncrementalDedup:
         matches.write.mode("overwrite").parquet(
             os.path.join(self.match_path, f"batch_id={batch_id}")
         )
+        if self.keep_manifest:
+            # classify each match by whether dst is in THIS batch: pairs-mode
+            # intra-batch matches are canonical src < dst (drop dst), while
+            # cross-batch probe matches carry the probe row in src and the
+            # earlier-indexed row in dst (drop src).  Read the matches back
+            # from the partition just written — one small file scan instead
+            # of recomputing the verify plan
+            m = spark.read.parquet(
+                os.path.join(self.match_path, f"batch_id={batch_id}")
+            )
+            batch_ids = batch_df.select("image_id")
+            dst_in_batch = batch_ids.withColumnRenamed("image_id", "dst")
+            drops = (
+                m.join(dst_in_batch, "dst", "left_semi")
+                .select(F.col("dst").alias("image_id"))
+                .unionByName(
+                    m.join(dst_in_batch, "dst", "left_anti").select(
+                        F.col("src").alias("image_id")
+                    )
+                )
+                .distinct()
+            )
+            keep = (
+                batch_ids.join(drops, "image_id", "left_anti")
+                .withColumn("keep", F.lit(True))
+                .unionByName(drops.withColumn("keep", F.lit(False)))
+            )
+            keep.write.mode("overwrite").parquet(
+                os.path.join(self.keep_path, f"batch_id={batch_id}")
+            )
         sigs.write.mode("overwrite").parquet(
             os.path.join(self.sig_path, f"batch_id={batch_id}")
         )

@@ -49,6 +49,23 @@ def test_end_to_end_recall_and_precision(spark, corpus, input_df):
     assert fp <= max(10, 0.02 * len(truth)), f"{fp} false pairs of {len(truth)}"
 
 
+def test_keep_manifest_invariants(spark, corpus, input_df):
+    """keep_manifest over the pipeline clusters: exactly one keeper per
+    cluster, the keeper is the cluster minimum, every row decided."""
+    from mhap_spark.cluster import keep_manifest
+
+    out = run_pipeline(spark, input_df, CFG)
+    rows = keep_manifest(out["clusters"]).collect()
+    assert len(rows) == N_ROWS
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, mems in by_cluster.items():
+        keepers = [r for r in mems if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["image_id"] == cid == min(m["image_id"] for m in mems)
+
+
 def test_resume_from_checkpoint(spark, corpus, input_df, tmp_path):
     store = CheckpointStore(str(tmp_path / "ckpt"))
     out1 = run_pipeline(spark, input_df, CFG, store=store)

@@ -151,6 +151,55 @@ def test_incremental_streaming_dedup(spark, tmp_path):
     assert not missed, f"missed pairs: {sorted(missed)[:5]}"
 
 
+def test_streaming_keep_manifest_first_arrival(spark, tmp_path):
+    """keep_manifest=True: every arriving row gets exactly one keep/drop
+    decision; drop ⇔ verified match to an earlier batch (first arrival
+    wins) or to a smaller id within the same batch."""
+    corpus = generate_corpus(200, seed=5)
+    rows = corpus_to_rows(corpus)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i in range(4):
+        chunk = rows[i * 50 : (i + 1) * 50]
+        tbl = pa.table(
+            {
+                "image_id": [r[0] for r in chunk],
+                "bytes": pa.array([bytes(r[1]) for r in chunk], pa.binary()),
+                "w": pa.array([r[2] for r in chunk], pa.int32()),
+                "h": pa.array([r[3] for r in chunk], pa.int32()),
+                "fmt": [r[4] for r in chunk],
+                "caption": [r[5] for r in chunk],
+                "phash": pa.array([r[6] for r in chunk], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(in_dir, f"part{i}.parquet"))
+
+    base = str(tmp_path / "dedup")
+    sink = IncrementalDedup(base, CFG, keep_manifest=True)
+    q = sink.start(read_image_stream(spark, in_dir, INPUT_SCHEMA_DDL, max_files=1))
+    q.awaitTermination(120)
+
+    keep = spark.read.parquet(os.path.join(base, "keep")).collect()
+    assert len(keep) == 200
+    assert len({r["image_id"] for r in keep}) == 200  # one decision per row
+
+    # independent expectation from the recorded matches + batch assignment
+    batch_of = {
+        r["image_id"]: r["batch_id"]
+        for r in spark.read.parquet(os.path.join(base, "signatures")).collect()
+    }
+    expected_drop = set()
+    for r in spark.read.parquet(os.path.join(base, "matches")).collect():
+        if batch_of[r["src"]] == batch_of[r["dst"]]:
+            expected_drop.add(max(r["src"], r["dst"]))
+        else:
+            expected_drop.add(
+                r["src"] if batch_of[r["src"]] > batch_of[r["dst"]] else r["dst"]
+            )
+    assert {r["image_id"] for r in keep if not r["keep"]} == expected_drop
+    assert expected_drop, "fixture must actually drop duplicates"
+
+
 def test_streaming_retry_idempotent(spark, tmp_path):
     """Replaying a micro-batch (foreachBatch retry semantics) must not
     duplicate signatures or matches — each batch owns its batch_id=N dir."""
