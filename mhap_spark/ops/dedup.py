@@ -189,13 +189,14 @@ def minhash_dedup_keep(
     clusters = connected_components(
         edges,
         verts,
+        max_iters=cfg.cc_max_iters,
         driver_finish_edges=cfg.cc_driver_finish_edges,
         no_broadcast_hints=cfg.no_broadcast_hints,
     )
-    return clusters.select(
-        F.col("image_id").alias(id_col),
-        "cluster_id",
-        (F.col("image_id") == F.col("cluster_id")).alias("keep"),
+    from mhap_spark.cluster import keep_manifest
+
+    return keep_manifest(clusters).select(
+        F.col("image_id").alias(id_col), "cluster_id", "keep"
     )
 
 

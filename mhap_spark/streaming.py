@@ -223,9 +223,14 @@ class IncrementalDedup:
         # semantics: the index holds ALL seen rows — kept or dropped — so
         # "duplicate of a dropped row" still drops (no transitive-closure
         # canonicalization; the batch pipeline's CC keep_manifest is the
-        # closure-exact variant).  Cost: one re-read of the batch's just-
-        # written matches partition + one tiny per-batch write — off by
-        # default so the benched probe path is unchanged.
+        # closure-exact variant).  PRECONDITION: image_id is unique across
+        # the stream's lifetime (the engine's row key, and what the file
+        # source + idempotent batch_id overwrite deliver) — the
+        # dst-in-this-batch classification below reads an id recurring in a
+        # LATER batch as an intra-batch match and would mis-orient that
+        # pair's drop.  Cost: one re-read of the batch's just-written
+        # matches partition + one tiny per-batch write — off by default so
+        # the benched probe path is unchanged.
         self.keep_manifest = keep_manifest
         self.keep_path = os.path.join(base_dir, "keep")
         # band_index=True: cross-batch probing goes through the
@@ -387,11 +392,11 @@ class IncrementalDedup:
                 )
                 .distinct()
             )
-            keep = (
-                batch_ids.join(drops, "image_id", "left_anti")
-                .withColumn("keep", F.lit(True))
-                .unionByName(drops.withColumn("keep", F.lit(False)))
-            )
+            # one left join, not anti+union: the drops subtree (parquet
+            # re-read + classification joins) would otherwise execute twice
+            keep = batch_ids.join(
+                drops.withColumn("keep", F.lit(False)), "image_id", "left"
+            ).select("image_id", F.coalesce("keep", F.lit(True)).alias("keep"))
             keep.write.mode("overwrite").parquet(
                 os.path.join(self.keep_path, f"batch_id={batch_id}")
             )
