@@ -237,6 +237,18 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_embedding_dedup_keep(spark, sf_dir):
+    """Semantic-dedup keep manifest (SemDeDup-style): exact blocked cosine
+    pairs → CC → canonical min-id representative.  Hash-checked via a
+    sequential replica (oracle_ops.embedding_keep_rows — same JVM fold
+    order as the other vector oracles, union-find with min-id roots)."""
+    from mhap_spark.ops.similarity import embedding_dedup_keep
+
+    return embedding_dedup_keep(
+        _t(spark, sf_dir, "embeddings"), min_cos=0.35, block_col="label"
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -759,6 +771,29 @@ def _minhash_dedup_keep_oracle_sql() -> str:
     return _values_sql(rows, ["doc_id", "cluster_id", "keep"], "ssb")
 
 
+def _embedding_dedup_keep_oracle_sql() -> str:
+    """DuckDB oracle for embedding_dedup_keep: blocked sequential-fold
+    cosine pairs + union-find (oracle_ops.embedding_keep_rows) over the
+    same embeddings table, emitted as a VALUES literal."""
+    import duckdb
+
+    import numpy as np
+
+    from mhap_spark import oracle_ops
+
+    rows = duckdb.sql(
+        "SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = [r[1] for r in rows]
+    X = np.array(
+        [np.asarray(r[2], dtype=np.float32).astype(np.float64) for r in rows]
+    )
+    out = oracle_ops.embedding_keep_rows(ids, X, labels, min_cos=0.35)
+    return _values_sql(out, ["vec_id", "cluster_id", "keep"], "iib")
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB oracle for simhash_near_dup: brute-force sequential SimHash +
     Hamming histogram (oracle_ops.simhash_hamming_hist) — valid because the
@@ -983,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_freq": _q_cms_word_freq,
         "minhash_doc_pairs": _q_minhash_doc_pairs,
         "minhash_dedup_keep": _q_minhash_dedup_keep,
+        "embedding_dedup_keep": _q_embedding_dedup_keep,
         "simhash_near_dup": _q_simhash_near_dup,
         "substring_dup_docs": _q_substring_dup_docs,
         "doc_fingerprint": _q_fingerprint,
@@ -1420,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _approx_distinct_oracle_sql(),
         "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql(),
         "minhash_dedup_keep": _minhash_dedup_keep_oracle_sql(),
+        "embedding_dedup_keep": _embedding_dedup_keep_oracle_sql(),
         "simhash_near_dup": _simhash_oracle_sql(),
         "cms_word_freq": _cms_oracle_sql(),
         "roc_stats_synth": _roc_stats_oracle_sql(),

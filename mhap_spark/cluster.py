@@ -153,6 +153,29 @@ def keep_manifest(clusters: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_from_pairs(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_iters: int = 50,
+    driver_finish_edges: int = 0,
+    no_broadcast_hints: bool = True,
+) -> DataFrame:
+    """pairs(src,dst) + vertices(image_id) → (image_id, cluster_id, keep):
+    connected components plus the canonical-representative decision, in one
+    call.  Source-agnostic — any duplicate-pair producer (MinHash bands,
+    SimHash, embedding cosine, ANN candidates) composes with this to yield
+    a dedup keep manifest."""
+    return keep_manifest(
+        connected_components(
+            pairs,
+            vertices,
+            max_iters=max_iters,
+            driver_finish_edges=driver_finish_edges,
+            no_broadcast_hints=no_broadcast_hints,
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, vertices: DataFrame, max_iters: int = 50,
     check_every: int = 2, target_rows_per_task: int = 250_000,

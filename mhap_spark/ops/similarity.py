@@ -119,6 +119,45 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup_keep(
+    df: DataFrame,
+    min_cos: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 8192,
+    driver_finish_edges: int = 0,
+    no_broadcast_hints: bool = False,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup keep manifest — SemDeDup-style
+    (Abbas et al., 2023): near-dup pairs → connected components →
+    canonical min-id representative, ``(id_col, cluster_id, keep)`` for
+    every input row.
+
+    Pair source here is the exact blocked baseline
+    (:func:`embedding_near_dup_pairs`, oracle-checkable); at web scale
+    feed :func:`lsh_bucketed_neighbors` / :func:`ivf_neighbors` pairs into
+    ``cluster.dedup_keep_from_pairs`` instead — the clustering and keep
+    decision are source-agnostic."""
+    from mhap_spark.cluster import dedup_keep_from_pairs
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        min_cos=min_cos,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_size=max_block_size,
+    )
+    verts = df.select(F.col(id_col).alias("image_id"))
+    return dedup_keep_from_pairs(
+        pairs,
+        verts,
+        driver_finish_edges=driver_finish_edges,
+        no_broadcast_hints=no_broadcast_hints,
+    ).select(F.col("image_id").alias(id_col), "cluster_id", "keep")
+
+
 def _rescore_pairs(cand, vecs, min_cos: float):
     """Exact-cosine rescore of a deduped (src, dst) candidate set: join the
     unit vectors back on (the wide arrays cross the wire once per surviving

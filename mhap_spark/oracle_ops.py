@@ -599,3 +599,28 @@ def dedup_keep_rows(
             else:
                 parent[ra] = rb
     return [(d, find(d), d == find(d)) for d in doc_ids]
+
+
+def embedding_keep_rows(
+    ids: np.ndarray, X: np.ndarray, labels: list, min_cos: float
+) -> list[tuple[int, int, bool]]:
+    """ops/similarity.embedding_dedup_keep replica: blocked sequential-fold
+    cosine pairs (same JVM fold order as _fold_dot/_fold_norm, zero-norm
+    rows excluded from pairing like with_unit_vectors) → union-find keep
+    manifest over ALL ids (zero-norm rows stay as singletons)."""
+    by_label: dict = {}
+    for i in range(len(ids)):
+        by_label.setdefault(labels[i], []).append(i)
+    pairs = []
+    for members in by_label.values():
+        live = [i for i in members if _fold_norm(X[i]) > 0]
+        if len(live) < 2:
+            continue
+        for a in range(len(live)):
+            for b in range(a + 1, len(live)):
+                i, j = live[a], live[b]
+                cos = _fold_dot(X[i], X[j]) / (_fold_norm(X[i]) * _fold_norm(X[j]))
+                if cos >= min_cos:
+                    lo, hi = sorted((int(ids[i]), int(ids[j])))
+                    pairs.append((lo, hi, 1))
+    return dedup_keep_rows([int(v) for v in ids], pairs)

@@ -224,6 +224,36 @@ def test_embedding_near_dup_and_lsh_recall(spark):
     assert ann <= exact | set()  # rescore gate means no false accepts
 
 
+def test_embedding_dedup_keep_matches_replica(spark):
+    """Semantic-dedup keep manifest ≡ sequential blocked-cosine +
+    union-find replica; exactly one keeper per planted triple."""
+    from mhap_spark import oracle_ops
+    from mhap_spark.ops.similarity import embedding_dedup_keep
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((10, 16))
+    rows, vid = [], 0
+    for b in range(10):
+        for _ in range(3):
+            v = base[b] + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    rows.append((vid, [0.0] * 16, 0))  # zero-norm row: singleton keeper
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r["vec_id"], r["cluster_id"], r["keep"])
+        for r in embedding_dedup_keep(df, min_cos=0.95, block_col="label").collect()
+    }
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([np.asarray(r[1], dtype=np.float32).astype(np.float64) for r in rows])
+    want = set(
+        oracle_ops.embedding_keep_rows(ids, X, [r[2] for r in rows], min_cos=0.95)
+    )
+    assert got == want
+    keepers = {v for v, _, k in got if k}
+    assert keepers == {0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30}  # min of each triple + zero-norm row
+
+
 def test_ivf_ann_recall(spark):
     """IVF multi-probe recall vs exact near-dup pairs on clustered vectors;
     rescore gate ⇒ no false accepts."""
