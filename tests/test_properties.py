@@ -163,29 +163,50 @@ def test_union_find_matches_bfs(case):
             want[v] = label
     assert got == want
 
+    # the keep-manifest replica must agree with the same BFS ground truth:
+    # cluster_id = component min, keep ⇔ id IS the min, every id decided
+    from mhap_spark.oracle_ops import dedup_keep_rows
+
+    keep_rows = dedup_keep_rows(ids, [(a, b, 1) for a, b in pairs])
+    assert len(keep_rows) == len(ids)
+    for d, cid, keep in keep_rows:
+        assert cid == want[d]
+        assert keep == (d == want[d])
+
 
 # --- codecs ----------------------------------------------------------------------
 
-images = st.tuples(
+# the strategy yields the (w, h, seed) PARAMS and the test reconstructs the
+# array, so a falsifying example prints as a reproducible 3-tuple instead of
+# a mapped array (a one-shot suite failure of the roundtrip test under heavy
+# concurrent load was unreproducible across 20k-trial + exhaustive-boundary
+# sweeps precisely because the drawn example was lost)
+image_params = st.tuples(
     st.integers(min_value=1, max_value=12),
     st.integers(min_value=1, max_value=12),
     st.integers(min_value=0, max_value=2**32 - 1),
-).map(
-    lambda t: np.random.default_rng(t[2])
-    .integers(0, 256, size=(t[0], t[1], 3))
-    .astype(np.uint8)
 )
 
 
-@settings(**SETTINGS)
-@given(images)
-def test_png_roundtrip_lossless(px):
-    assert (png_decode(png_encode(px)) == px).all()
+def _image(t):
+    return (
+        np.random.default_rng(t[2])
+        .integers(0, 256, size=(t[0], t[1], 3))
+        .astype(np.uint8)
+    )
 
 
 @settings(**SETTINGS)
-@given(images)
-def test_qpng_error_bound_and_psnr(px):
+@given(image_params)
+def test_png_roundtrip_lossless(params):
+    px = _image(params)
+    assert (png_decode(png_encode(px)) == px).all(), params
+
+
+@settings(**SETTINGS)
+@given(image_params)
+def test_qpng_error_bound_and_psnr(params):
+    px = _image(params)
     dec = png_decode(qpng_encode(px))
     err = np.abs(dec.astype(np.int32) - px.astype(np.int32)).max()
     assert err <= QPNG_STEP // 2  # quantization half-step, the ≥40 dB basis
