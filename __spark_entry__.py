@@ -1218,24 +1218,30 @@ def oracle_sql() -> dict[str, str]:
     }
     return {
         "quality_score": f"""
+            -- null/empty text scores 0 outright (engine's `empty` guard,
+            -- mirrored: no 0/0-NULL ratios)
             WITH t AS (
               SELECT doc_id, text, length(text) AS n,
+                     (text IS NULL OR length(text) = 0) AS empty,
                      list_distinct(string_split({_NORM}, ' ')) AS dts
               FROM documents),
             s AS (
-              SELECT doc_id, n,
-                     len(list_intersect(dts, [{stoplist}]))::DOUBLE
-                       / {float(len(_STOPWORDS))} AS stop_ratio,
-                     length(regexp_replace(text, '{punct_class}', '', 'g'))::DOUBLE
-                       / n AS punct_ratio,
-                     least(n / 200.0, 1.0) AS len_score
+              SELECT doc_id, empty,
+                     CASE WHEN empty THEN 0.0 ELSE
+                       len(list_intersect(dts, [{stoplist}]))::DOUBLE
+                         / {float(len(_STOPWORDS))} END AS stop_ratio,
+                     CASE WHEN empty THEN 0.0 ELSE
+                       length(regexp_replace(text, '{punct_class}', '', 'g'))::DOUBLE
+                         / n END AS punct_ratio,
+                     least(coalesce(n, 0) / 200.0, 1.0) AS len_score
               FROM t)
             SELECT doc_id,
                    round(stop_ratio, 6) AS stopword_ratio,
                    round(punct_ratio, 6) AS punct_ratio,
-                   round(greatest(0.0, least(1.0,
-                         0.4*len_score + 0.4*stop_ratio
-                         + 0.2*(1.0 - 4.0*punct_ratio))), 6) AS quality
+                   round(CASE WHEN empty THEN 0.0 ELSE
+                         greatest(0.0, least(1.0,
+                           0.4*len_score + 0.4*stop_ratio
+                           + 0.2*(1.0 - 4.0*punct_ratio))) END, 6) AS quality
             FROM s
         """,
         "lang_id": f"""
@@ -1338,12 +1344,18 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(l.ws || r.ws)) >= 0.3
         """,
         "token_stats": f"""
-            WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks,
-                              length(text) AS n_chars_seen FROM documents)
+            -- null/empty normalized text → 0 tokens, NULL ratios (engine's
+            -- empty-array + try_divide guards, mirrored)
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN {_NORM} IS NULL OR {_NORM} = ''
+                                   THEN []::VARCHAR[]
+                                   ELSE string_split({_NORM}, ' ') END AS toks,
+                              coalesce(length(text), 0) AS n_chars_seen
+                       FROM documents)
             SELECT doc_id, len(toks) AS n_tokens, n_chars_seen,
-                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS distinct_ratio,
-                   round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-                         / len(toks), 6) AS avg_token_len
+                   round(len(list_distinct(toks))::DOUBLE / nullif(len(toks), 0), 6) AS distinct_ratio,
+                   round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                         / nullif(len(toks), 0), 6) AS avg_token_len
             FROM t
         """,
         "cosine_topk": """

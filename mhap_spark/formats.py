@@ -29,17 +29,30 @@ def to_m4(pairs: DataFrame, signatures: DataFrame | None = None) -> DataFrame:
     mhap/impl/MatchResult.java:92-95)."""
     df = pairs
     if signatures is not None:
+        # LEFT joins: a pair whose endpoint is missing from the (possibly
+        # filtered/pruned) signature table must still be emitted — an inner
+        # join would silently drop it from the export; unknown lengths
+        # render as 0, same as the signatures=None path
         ln = signatures.select("image_id", "n_shingles")
-        df = df.join(
-            ln.select(
-                F.col("image_id").alias("src"), F.col("n_shingles").alias("src_len")
-            ),
-            "src",
-        ).join(
-            ln.select(
-                F.col("image_id").alias("dst"), F.col("n_shingles").alias("dst_len")
-            ),
-            "dst",
+        df = (
+            df.join(
+                ln.select(
+                    F.col("image_id").alias("src"),
+                    F.col("n_shingles").alias("src_len"),
+                ),
+                "src",
+                "left",
+            )
+            .join(
+                ln.select(
+                    F.col("image_id").alias("dst"),
+                    F.col("n_shingles").alias("dst_len"),
+                ),
+                "dst",
+                "left",
+            )
+            .withColumn("src_len", F.coalesce("src_len", F.lit(0)))
+            .withColumn("dst_len", F.coalesce("dst_len", F.lit(0)))
         )
     else:
         df = df.withColumn("src_len", F.lit(0)).withColumn("dst_len", F.lit(0))

@@ -60,13 +60,40 @@ def truth_pairs_df(
     kept = kept_truth(truth, max_cluster_members)
     l = kept.select(F.col("image_id").alias("src"), F.col("true_cluster").alias("c"))
     r = kept.select(F.col("image_id").alias("dst"), F.col("true_cluster").alias("c"))
-    return l.join(r, "c").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # distinct: duplicated membership rows or overlapping clusters would
+    # emit the same (src, dst) twice and double-count tp/fn downstream
+    # (driving tn negative); bounded by the capped pair set
+    return (
+        l.join(r, "c")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _confusion_parts(
+    found: DataFrame,
+    truth: DataFrame,
+    max_cluster_members: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared sub-plans of pair_confusion and pair_confusion_with_rescue:
+    (kept id universe, distinct found pairs, found pairs restricted to the
+    universe, capped truth pairs) — built once so the rescue path does not
+    re-run the capped window sort and the quadratic truth self-join."""
+    kept = kept_truth(truth, max_cluster_members)
+    ids = kept.select(F.col("image_id").alias("_id")).distinct()
+    f_all = found.select("src", "dst").distinct()
+    f = f_all.join(ids.withColumnRenamed("_id", "src"), "src", "left_semi").join(
+        ids.withColumnRenamed("_id", "dst"), "dst", "left_semi"
+    )
+    return ids, f_all, f, truth_pairs_df(kept, None)
 
 
 def pair_confusion(
     found: DataFrame,
     truth: DataFrame,
     max_cluster_members: int | None = DEFAULT_MAX_CLUSTER_MEMBERS,
+    _parts: tuple | None = None,
 ) -> DataFrame:
     """One row: tp / fp / fn / tn / sensitivity / specificity / ppv
     (+ found_outside_universe).
@@ -82,15 +109,9 @@ def pair_confusion(
     no negative pair ever materialized.  Found pairs with an endpoint outside
     that universe are excluded from the confusion counts (they'd make tn
     inconsistent/negative) and reported in ``found_outside_universe``."""
-    kept = kept_truth(truth, max_cluster_members)
-    ids = kept.select(F.col("image_id").alias("_id")).distinct()
-    f_all = found.select("src", "dst").distinct()
-    f = (
-        f_all.join(ids.withColumnRenamed("_id", "src"), "src", "left_semi")
-        .join(ids.withColumnRenamed("_id", "dst"), "dst", "left_semi")
-        .withColumn("in_found", F.lit(1))
-    )
-    t = truth_pairs_df(kept, None).withColumn("in_truth", F.lit(1))
+    ids, f_all, f, t = _parts or _confusion_parts(found, truth, max_cluster_members)
+    f = f.withColumn("in_found", F.lit(1))
+    t = t.withColumn("in_truth", F.lit(1))
     j = t.join(f.select("src", "dst", "in_found"), ["src", "dst"], "full_outer")
     n_ids = ids.agg(F.count(F.lit(1)).alias("n_ids"))
     n_found_all = f_all.agg(F.count(F.lit(1)).alias("n_found_all"))
@@ -134,19 +155,13 @@ def cluster_confusion(
     clusters: (image_id, cluster_id).  Engine clusters get the same cap as
     truth clusters (an engine over-merge into one giant cluster must not
     blow up the evaluation either); sampling applies only above the cap."""
-    if max_cluster_members is not None:
-        w = Window.partitionBy("k").orderBy(F.xxhash64("image_id"), F.col("image_id"))
-        clusters = (
-            clusters.select("image_id", F.col("cluster_id").alias("k"))
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= max_cluster_members)
-            .drop("_rk")
-        )
-    else:
-        clusters = clusters.select("image_id", F.col("cluster_id").alias("k"))
-    l = clusters.select(F.col("image_id").alias("src"), "k")
-    r = clusters.select(F.col("image_id").alias("dst"), "k")
-    found = l.join(r, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # engine clusters reuse the exact truth-side cap + pair machinery
+    # (kept_truth's hash-ranked window inside truth_pairs_df) — one
+    # definition of the sampling rule, not a renamed copy
+    found = truth_pairs_df(
+        clusters.select("image_id", F.col("cluster_id").alias("true_cluster")),
+        max_cluster_members,
+    )
     return pair_confusion(found, truth, max_cluster_members)
 
 
@@ -175,17 +190,10 @@ def pair_confusion_with_rescue(
 
     if rescue_threshold is None:
         rescue_threshold = 0.9 * cfg.threshold
-    base = pair_confusion(found, truth, max_cluster_members)
-
-    kept = kept_truth(truth, max_cluster_members)
-    ids = kept.select(F.col("image_id").alias("_id")).distinct()
-    f = (
-        found.select("src", "dst")
-        .distinct()
-        .join(ids.withColumnRenamed("_id", "src"), "src", "left_semi")
-        .join(ids.withColumnRenamed("_id", "dst"), "dst", "left_semi")
-    )
-    fp_pairs = f.join(truth_pairs_df(kept, None), ["src", "dst"], "left_anti")
+    parts = _confusion_parts(found, truth, max_cluster_members)
+    base = pair_confusion(found, truth, max_cluster_members, _parts=parts)
+    _ids, _f_all, f, t = parts
+    fp_pairs = f.join(t, ["src", "dst"], "left_anti")
     loose = cfg.with_overrides(
         threshold=rescue_threshold, min_jaccard=0.0, bit_prefilter=False
     )

@@ -65,8 +65,13 @@ def cms_cells(
         nz = np.flatnonzero(local)
         yield pd.DataFrame({"cell": nz.astype(np.int64), "n": local[nz]})
 
+    # null keys (including unparseable values nulled by the cast) are not
+    # counted — and must be dropped JVM-side: a nullable long batch reaches
+    # pandas as float64+NaN and to_numpy(np.int64) raises (the shingles.py
+    # Arrow hazard)
     return (
         df.select(F.col(key_col).cast("long").alias(key_col))
+        .where(F.col(key_col).isNotNull())
         .mapInPandas(gen, CELL_SCHEMA)
         .groupBy("cell")
         .agg(F.sum("n").alias("n"))
@@ -159,8 +164,10 @@ def bloom_words(
             {"word_idx": nz.astype(np.int64), "bits": local[nz].view(np.int64)}
         )
 
+    # null keys dropped JVM-side — same NaN-poisoning hazard as cms_cells
     return (
         df.select(F.col(key_col).cast("long").alias(key_col))
+        .where(F.col(key_col).isNotNull())
         .mapInPandas(gen, WORD_SCHEMA)
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))

@@ -35,19 +35,26 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     as quality_score and the dedup operators — dedup.normalized_text, reused
     so the canonical form can never silently desynchronize), all builtin
     functions."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    norm = normalized_text(F.col(text_col))
+    # null/empty text → 0 tokens (not size(null) = −1 or split('')=['']),
+    # ratios NULL via try_divide instead of −1/−1 = 1.0 garbage
+    toks = F.when(
+        norm.isNull() | (norm == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.length(text_col).alias("n_chars_seen"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
-            "distinct_ratio"
-        ),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars_seen"),
         F.round(
-            F.aggregate(
-                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-            )
-            / F.size(toks),
+            F.try_divide(F.size(F.array_distinct(toks)), F.size(toks)), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.try_divide(
+                F.aggregate(
+                    toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+                ),
+                F.size(toks),
+            ),
             6,
         ).alias("avg_token_len"),
     )
@@ -60,29 +67,37 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     credit for reasonable length, sane word lengths, stopword presence, and
     lose it for punctuation soup."""
     t = F.col(text_col)
+    # null/empty text scores 0 outright (an empty doc is the lowest-quality
+    # doc, not a NULL from 0/0 division that a quality filter then silently
+    # drops or passes depending on its null handling)
+    empty = t.isNull() | (F.length(t) == 0)
     toks = F.split(normalized_text(t), " ")
-    n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.lit(
-        float(len(_STOPWORDS))
+    stop_ratio = F.when(empty, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+        / F.lit(float(len(_STOPWORDS)))
     )
     # explicit ASCII class ≡ \p{Punct} — spelled out so the DuckDB oracle
     # (RE2, no \p{Punct}) can pin the identical semantics
-    punct_ratio = (
+    punct_ratio = F.when(empty, F.lit(0.0)).otherwise(
         F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / F.length(t)
     )
-    len_score = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    len_score = F.least(F.coalesce(F.length(t), F.lit(0)) / F.lit(200.0), F.lit(1.0))
     return df.select(
         F.col(id_col),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(
-            F.greatest(
-                F.lit(0.0),
-                F.least(
-                    F.lit(1.0),
-                    0.4 * len_score + 0.4 * stop_ratio + 0.2 * (1.0 - 4.0 * punct_ratio),
-                ),
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(1.0),
+                        0.4 * len_score
+                        + 0.4 * stop_ratio
+                        + 0.2 * (1.0 - 4.0 * punct_ratio),
+                    ),
+                )
             ),
             6,
         ).alias("quality"),

@@ -337,6 +337,28 @@ def test_token_stats(spark, docs):
     )
 
 
+def test_textstats_null_and_empty_text(spark):
+    """Null/empty/whitespace-only text: 0 tokens (not size(null) = −1 or
+    split('') = ['']), NULL ratios, quality scored 0.0 (not NULL)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    for d in (1, 2, 3):
+        assert ts[d]["n_tokens"] == 0
+        assert ts[d]["distinct_ratio"] is None
+        assert ts[d]["avg_token_len"] is None
+    assert ts[1]["n_chars_seen"] == 0
+    assert ts[4]["n_tokens"] == 3
+    qs = {r["doc_id"]: r for r in quality_score(df).collect()}
+    for d in (1, 2):
+        assert qs[d]["quality"] == 0.0
+        assert qs[d]["punct_ratio"] == 0.0
+        assert qs[d]["stopword_ratio"] == 0.0
+    assert qs[4]["quality"] is not None and qs[4]["quality"] > 0
+
+
 def test_quality_score_ranges(spark, docs):
     got = quality_score(docs).collect()
     for r in got:

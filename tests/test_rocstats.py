@@ -119,6 +119,21 @@ def test_cluster_confusion_overmerged(spark, truth):
     assert row["tn"] == 0 and row["specificity"] == 0.0
 
 
+def test_duplicate_truth_membership_does_not_double_count(spark):
+    """Duplicated membership rows / overlapping clusters must not emit the
+    same truth pair twice (double-counted tp would drive tn negative)."""
+    truth = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0), ("b", 1)],
+        "image_id string, true_cluster long",
+    )
+    got = [(r["src"], r["dst"]) for r in truth_pairs_df(truth).collect()]
+    assert got == [("a", "b")]
+    found = spark.createDataFrame([("a", "b")], "src string, dst string")
+    row = pair_confusion(found, truth).collect()[0]
+    # universe C(2,2)=1: the one pair is tp, tn exactly 0 — not -1
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (1, 0, 0, 0)
+
+
 def test_pair_confusion_empty_inputs_are_zero(spark):
     """A dup-free corpus (all truth clusters singletons, no found pairs)
     must yield tp=fp=fn=0 and tn=C(n,2) — F.sum over the empty join is NULL

@@ -110,6 +110,39 @@ def test_m4_without_signatures(spark):
     assert to_m4(pairs).collect()[0]["line"] == "x y 0.500000 2.000000 0 0 0 0 0 0 0 0"
 
 
+def test_m4_missing_signature_endpoint_kept(spark):
+    """A pair whose endpoint lacks a signature row must still be exported
+    (left join, length 0) — an inner join silently dropped it."""
+    pairs = spark.createDataFrame(
+        [("img_a", "img_b", 7, 0.5, 0.9), ("img_a", "img_z", 3, 0.25, 0.75)],
+        "src string, dst string, votes long, jaccard double, score double",
+    )
+    sigs = spark.createDataFrame(
+        [("img_a", 120), ("img_b", 98)], "image_id string, n_shingles int"
+    )
+    lines = [r["line"] for r in to_m4(pairs, sigs).collect()]
+    assert len(lines) == 2
+    assert lines[1] == "img_a img_z 0.250000 3.000000 0 0 0 120 0 0 0 0"
+
+
+def test_sketch_null_keys_dropped(spark):
+    """Null keys (or cast-to-null strings) must not crash the Arrow kernels
+    — they are dropped JVM-side before the batch reaches numpy."""
+    from mhap_spark.ops.sketches import bloom_words
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,), (1,)], "k long"
+    )
+    cms = cms_cells(df, "k", depth=2, width=64).collect()
+    assert sum(r["n"] for r in cms) == 3 * 2  # 3 non-null keys × depth
+    ref = cms_cells(df.where(F.col("k").isNotNull()), "k", depth=2, width=64)
+    assert sorted((r["cell"], r["n"]) for r in cms) == sorted(
+        (r["cell"], r["n"]) for r in ref.collect()
+    )
+    words = bloom_words(df, "k", m_bits=1 << 10, k_hashes=2).collect()
+    assert words  # built without the NaN ValueError
+
+
 def test_bloom_filter_membership_and_fpr(spark):
     """Bloom filter (FrequencyCounts.java:137,272-278 noise-membership
     analog): zero false negatives, FPR near the (1-e^(-kn/m))^k formula,
