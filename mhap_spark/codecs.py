@@ -153,26 +153,36 @@ def avi_parse(data: bytes) -> tuple[str, int, int, list[bytes]]:
     decode_image)."""
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
     fourcc, w, h = None, 0, 0
-    frames: list[bytes] = []
+    n_streams, vids_idx = 0, None
+    tagged: list[tuple[bytes, bytes]] = []  # (2-digit stream prefix, payload)
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fourcc, w, h
+        nonlocal fourcc, w, h, n_streams, vids_idx
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body_start = pos + 8
             if tag == b"LIST":
                 walk(body_start + 4, body_start + length)
-            elif tag == b"strh" and data[body_start : body_start + 4] == b"vids":
-                fourcc = data[body_start + 4 : body_start + 8]
+            elif tag == b"strh":
+                # stream index = strh order in hdrl (the RIFF rule tying
+                # NNdc chunk prefixes to streams); take the FIRST vids
+                # stream — a second stream's chunks must not be conflated
+                # into this one's frame list with the wrong codec
+                if data[body_start : body_start + 4] == b"vids" and fourcc is None:
+                    fourcc = data[body_start + 4 : body_start + 8]
+                    vids_idx = n_streams
+                n_streams += 1
             elif tag == b"avih":
                 w, h = struct.unpack("<II", data[body_start + 32 : body_start + 40])
             elif tag[2:4] in (b"dc", b"db"):
-                frames.append(data[body_start : body_start + length])
+                tagged.append((tag[:2], data[body_start : body_start + length]))
             pos = body_start + length + (length % 2)
 
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     assert fourcc is not None, "no video stream header"
+    want = b"%02d" % vids_idx
+    frames = [p for pfx, p in tagged if pfx == want]
     fmt = _FOURCC_TO_FMT.get(fourcc, fourcc.decode("latin1").strip().lower())
     return fmt, w, h, frames
 
@@ -196,13 +206,34 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+def _gray_to_32(g: np.ndarray) -> np.ndarray:
+    """(h, w) float64 → (32, 32): exact box-downsample when both sides are
+    multiples of 32 (the historical fast path — bit-stable for every synth
+    image), separable bilinear for arbitrary sizes (a 40×40 decode used to
+    raise in the reshape and get misreported as a decode FAILURE)."""
+    h, w = g.shape
+    if h % 32 == 0 and w % 32 == 0 and h >= 32 and w >= 32:
+        return g.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    ys = (np.arange(32) + 0.5) * h / 32 - 0.5
+    xs = (np.arange(32) + 0.5) * w / 32 - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    gy0, gy1 = g[y0], g[y1]
+    top = gy0[:, x0] * (1 - fx) + gy0[:, x1] * fx
+    bot = gy1[:, x0] * (1 - fx) + gy1[:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def phash64(pixels: np.ndarray) -> int:
-    """64-bit DCT perceptual hash of an RGB image (any size ≥ 32×32 that is a
-    multiple of 32 per side; synth uses exactly 32×32)."""
+    """64-bit DCT perceptual hash of an RGB image (any size; multiples of 32
+    take the exact box-downsample path, synth uses exactly 32×32)."""
     g = pixels.astype(np.float64).mean(axis=2)
-    if g.shape != (32, 32):  # box-downsample to 32×32
-        h, w = g.shape
-        g = g.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    if g.shape != (32, 32):
+        g = _gray_to_32(g)
     d = _DCT32 @ g @ _DCT32.T
     block = d[:8, :8].ravel()
     med = np.median(block[1:])  # exclude DC from the median

@@ -117,8 +117,9 @@ def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
     fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
     p = px.astype(np.float64)
-    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
-    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    py0, py1 = p[y0], p[y1]  # gather each row block once, not twice
+    top = py0[:, x0] * (1 - fx) + py0[:, x1] * fx
+    bot = py1[:, x0] * (1 - fx) + py1[:, x1] * fx
     out = top * (1 - fy) + bot * fy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
@@ -203,6 +204,10 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     corrupt-rows-as-data policy as image_stats.  One input row fans out to
     ≤ n_frames rows inside a mapInPandas batch; no per-row Python at the
     Spark layer."""
+    if n_frames < 1:
+        # n_frames=0 would make every valid video row emit ZERO output rows
+        # (silently vanishing exactly the video inputs) — refuse loudly
+        raise ValueError(f"frame_sample: n_frames must be >= 1, got {n_frames}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,7 +292,9 @@ def audio_pcm_stats(df: DataFrame, binary_col: str = "bytes", id_col: str = "ima
             peak = np.zeros(n, dtype=np.float64)
             zc = np.zeros(n, dtype=np.int64)
             for i, blob in enumerate(pdf[binary_col]):
-                b = bytes(blob)
+                # NULL blob → 0 samples / zero stats, a data row like every
+                # other failure mode (bytes(None) would kill the task)
+                b = bytes(blob) if blob is not None else b""
                 samples = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
                 ns[i] = len(samples)
                 if len(samples):

@@ -40,14 +40,29 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_ids: list | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors of the first ``n_queries`` ids.
+    """Exact top-k cosine neighbors of the first ``n_queries`` ids (numeric
+    id columns), or of an explicit ``query_ids`` list.
 
     Query side is tiny → broadcast; the big side is scanned once, no shuffle
     until the final per-query top-k (window over k·n_queries rows).
     Deterministic tie-break: (cos_sim desc, neighbor id asc)."""
+    from pyspark.sql.types import NumericType
+
     base = with_unit_vectors(df, vec_col).select(id_col, "vec", "norm")
-    queries = base.where(F.col(id_col) < n_queries).select(
+    if query_ids is not None:
+        qpred = F.col(id_col).isin(list(query_ids))
+    elif isinstance(df.schema[id_col].dataType, NumericType):
+        qpred = F.col(id_col) < n_queries
+    else:
+        # a string id compared to an int casts to NULL (non-ANSI) and the
+        # query set silently comes back empty — refuse instead
+        raise ValueError(
+            f"cosine_topk: id column '{id_col}' is non-numeric; pass "
+            "query_ids explicitly"
+        )
+    queries = base.where(qpred).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -138,7 +153,14 @@ def embedding_dedup_keep(
     (:func:`embedding_near_dup_pairs`, oracle-checkable); at web scale
     feed :func:`lsh_bucketed_neighbors` / :func:`ivf_neighbors` pairs into
     ``cluster.dedup_keep_from_pairs`` instead — the clustering and keep
-    decision are source-agnostic."""
+    decision are source-agnostic.
+
+    ``no_broadcast_hints`` defaults False HERE (deliberately inverted from
+    ``dedup_keep_from_pairs``'s scale-safe True): this entry point is
+    bounded to exact-baseline corpora by construction, where free
+    broadcasts are the right plan.  The ANN-fed path above goes through
+    ``dedup_keep_from_pairs`` directly and keeps its corpus-scale
+    default."""
     from mhap_spark.cluster import dedup_keep_from_pairs
 
     pairs = embedding_near_dup_pairs(
@@ -234,7 +256,12 @@ def ivf_train_centroids(
     top-n by hash rank, NOT a bare ``limit`` (which depends on partition
     scan order): centroids, and hence the whole rows-only query output,
     are byte-identical across input repartitionings (round-2 VERDICT fix)."""
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # null vectors never train (np.array over a list containing None raises
+    # in the driver — the same poisoning with_unit_vectors guards executors
+    # against)
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
     if sample_mod > 1:
         s = s.where(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
     rows = s.orderBy(F.xxhash64("id"), "id").limit(max_sample).collect()
@@ -268,10 +295,28 @@ def ivf_neighbors(
     The centroid matrix is a task-closure broadcast (n_centroids × dim
     float64 — KiBs)."""
     if centroids is None:
-        centroids = ivf_train_centroids(
-            df, n_centroids, sample_mod=sample_mod, seed=seed,
-            id_col=id_col, vec_col=vec_col,
-        )
+        try:
+            centroids = ivf_train_centroids(
+                df, n_centroids, sample_mod=sample_mod, seed=seed,
+                id_col=id_col, vec_col=vec_col,
+            )
+        except ValueError:
+            # empty (or all-null-embedding) input: return the typed empty
+            # pairs frame, same contract as lsh_bucketed_neighbors — a
+            # robust pipeline must not crash on an empty shard
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_type = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("src", id_type),
+                        StructField("dst", id_type),
+                        StructField("cos_sim", DoubleType()),
+                    ]
+                ),
+            )
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     n_probe = min(n_probe, len(C))
 
@@ -307,6 +352,9 @@ def ivf_neighbors(
 
     cells = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        # null vectors can't be assigned (np.array(list-with-None) raises in
+        # the worker); with_unit_vectors drops them from the rescore side too
+        .where(F.col("v").isNotNull())
         .mapInPandas(assign, out_schema)
     )
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("bs"))

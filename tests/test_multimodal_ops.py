@@ -108,6 +108,46 @@ def test_avi_container_roundtrip():
     )
 
 
+def test_avi_parse_picks_vids_stream_only(spark):
+    """A second (audio) stream's NNdc chunks must not be conflated into the
+    video frame list: stream index follows strh order, frames filter to the
+    vids stream's 2-digit prefix."""
+    import struct
+
+    from mhap_spark.codecs import avi_encode, avi_parse, decode_image
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (24, 32, 3)).astype(np.uint8) for _ in range(3)]
+    # rebuild the single-stream file into: stream 0 = auds, stream 1 = vids
+    single = avi_encode(frames, fourcc=b"PNG ")
+    _, w, h, payloads = avi_parse(single)
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, len(frames), 0, 2, 0, w, h, 0, 0, 0, 0)
+    auds_strh = b"auds" + b"\x00" * 52
+    vids_strh = b"vids" + b"PNG " + b"\x00" * 48
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", b"\x00" * 16))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", b"\x00" * 40)),
+    )
+    movi_body = b"".join(
+        chunk(b"00dc", b"\xde\xad\xbe\xef") + chunk(b"01dc", p) for p in payloads
+    )
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    two_stream = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt, _, _, got = avi_parse(two_stream)
+    assert fmt == "png" and len(got) == 3  # not 6: audio chunks excluded
+    assert all((decode_image(p, fmt) == f).all() for f, p in zip(frames, got))
+
+
 def test_audio_pcm_stats(spark):
     # 1-second 8 kHz sine at half amplitude as PCM16 → known rms/zero-crossings
     t = np.arange(8000) / 8000.0
@@ -124,6 +164,41 @@ def test_audio_pcm_stats(spark):
     # 440 Hz over 1 s → ~880 zero crossings
     assert abs(got["a"]["zero_crossings"] - 880) <= 2
     assert got["b"]["rms"] == 0.0 and got["b"]["n_samples"] == 1000
+
+
+def test_audio_null_blob_is_data_row(spark):
+    """NULL binary → 0-sample data row, not a bytes(None) task crash."""
+    df = spark.createDataFrame(
+        [("a", bytearray(np.zeros(10, dtype="<i2").tobytes())), ("b", None)],
+        "image_id string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in audio_pcm_stats(df).collect()}
+    assert got["b"]["n_samples"] == 0 and got["b"]["rms"] == 0.0
+    assert got["a"]["n_samples"] == 10
+
+
+def test_frame_sample_rejects_zero_frames(spark, img_df):
+    """n_frames=0 would silently vanish every video row — must refuse."""
+    with pytest.raises(ValueError, match="n_frames"):
+        frame_sample(img_df, n_frames=0)
+
+
+def test_image_stats_non_multiple_of_32_dims(spark):
+    """A valid 40×40 image must report decode_ok=True with a phash — not a
+    'decode failed: cannot reshape' misclassification."""
+    from mhap_spark.codecs import encode_image, phash64
+    from mhap_spark.ops.multimodal import image_stats
+
+    px = np.random.default_rng(3).integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    ph = np.int64(np.uint64(phash64(px)))  # direct call also must not raise
+    df = spark.createDataFrame(
+        [("x", bytearray(encode_image(px, "png")), 40, 40, "png", "c", int(ph))],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    row = image_stats(df).collect()[0]
+    assert row["decode_ok"] and row["decode_error"] == ""
+    assert (row["dec_w"], row["dec_h"]) == (40, 40)
+    assert row["phash_recomputed"] == ph and row["phash_matches"]
 
 
 def test_resize_failed_rows_keep_source_dims(spark):

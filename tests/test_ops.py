@@ -224,6 +224,33 @@ def test_embedding_near_dup_and_lsh_recall(spark):
     assert ann <= exact | set()  # rescore gate means no false accepts
 
 
+def test_similarity_null_and_empty_robustness(spark):
+    """IVF must survive null embeddings (drop them) and empty input (typed
+    empty frame, like LSH); cosine_topk must refuse non-numeric ids instead
+    of silently returning nothing, and accept explicit query_ids."""
+    from mhap_spark.ops.similarity import ivf_neighbors
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)], 0) for i in range(6)]
+    rows.append((6, None, 0))  # null embedding: must be dropped, not crash
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ivf_neighbors(df, n_centroids=2, n_probe=2, min_cos=-1.0)
+    assert not any(
+        6 in (r["src"], r["dst"]) for r in out.collect()
+    )  # null row absent, job alive
+
+    empty = df.where(F.col("vec_id") < 0)
+    assert ivf_neighbors(empty, n_centroids=2).count() == 0  # no ValueError
+
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.1])], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        cosine_topk(sdf, n_queries=1)
+    got = cosine_topk(sdf, k=1, query_ids=["a"]).collect()
+    assert len(got) == 1 and got[0]["neighbor_id"] == "b"
+
+
 def test_embedding_dedup_keep_matches_replica(spark):
     """Semantic-dedup keep manifest ≡ sequential blocked-cosine +
     union-find replica; exactly one keeper per planted triple."""
