@@ -572,11 +572,12 @@ def _mhap_signatures_oracle_sql(n: int = 600) -> str:
     import numpy as np
 
     def xor64(vals) -> int:
+        # pure-Python masking: np.uint64(negative) is a DeprecationWarning on
+        # numpy 1.26 and an OverflowError on numpy >= 2.0
         acc = 0
         for v in vals:
-            acc ^= int(np.int64(np.uint64(v) & np.uint64(0xFFFFFFFFFFFFFFFF)))
+            acc ^= int(v) & 0xFFFFFFFFFFFFFFFF
         # fold to signed 64-bit
-        acc &= 0xFFFFFFFFFFFFFFFF
         return acc - (1 << 64) if acc >= (1 << 63) else acc
 
     rows = []
@@ -677,10 +678,16 @@ def _mhap_cluster_sizes_oracle_sql(n: int = 600) -> str:
 _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _oracle_docs(sf_dir: str = None) -> tuple[list[str], list[str]]:
     """(doc_ids_as_strings, texts) of the documents table the driver's
     oracle gate runs against (sf0.01 per the driver contract; override via
-    SPARK_GRAFT_ORACLE_SF_DIR when checking another scale locally)."""
+    SPARK_GRAFT_ORACLE_SF_DIR when checking another scale locally).
+    Memoized — oracle_sql() builds six oracles over this table in one call,
+    and callers never mutate the returned lists."""
     import duckdb
 
     rows = duckdb.sql(
@@ -738,6 +745,21 @@ def _values_sql(rows: list[tuple], cols: list[str], types: str) -> str:
     return f"SELECT {names} FROM (VALUES\n{body}\n) AS t({names})"
 
 
+@functools.lru_cache(maxsize=2)
+def _doc_pair_replica() -> tuple[tuple, tuple]:
+    """(doc_ids, candidate pair rows) from the sequential replica at the
+    contract config — the most expensive oracle computation (full
+    shingle → weighted-MinHash → band → vote chain), shared by
+    minhash_doc_pairs and minhash_dedup_keep instead of run twice."""
+    from mhap_spark import oracle_ops
+
+    ids, texts = _oracle_docs()
+    cfg = MhapConfig(
+        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
+    )
+    return tuple(ids), tuple(oracle_ops.minhash_doc_candidates(ids, texts, cfg))
+
+
 def _minhash_doc_pairs_oracle_sql() -> str:
     """DuckDB oracle for minhash_doc_pairs: the sequential replica
     (oracle_ops.minhash_doc_candidates — shingle → weighted MinHash →
@@ -745,14 +767,8 @@ def _minhash_doc_pairs_oracle_sql() -> str:
     semantics) runs over the same sf0.01 documents table; DuckDB compares
     the independently-computed pair set (see _mhap_signatures_oracle_sql
     for the VALUES-literal rationale)."""
-    from mhap_spark import oracle_ops
-
-    ids, texts = _oracle_docs()
-    cfg = MhapConfig(
-        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
-    )
-    rows = oracle_ops.minhash_doc_candidates(ids, texts, cfg)
-    return _values_sql(rows, ["src_doc", "dst_doc", "votes"], "ssi")
+    _, rows = _doc_pair_replica()
+    return _values_sql(list(rows), ["src_doc", "dst_doc", "votes"], "ssi")
 
 
 def _minhash_dedup_keep_oracle_sql() -> str:
@@ -762,12 +778,8 @@ def _minhash_dedup_keep_oracle_sql() -> str:
     manifest, emitted as a VALUES literal."""
     from mhap_spark import oracle_ops
 
-    ids, texts = _oracle_docs()
-    cfg = MhapConfig(
-        num_hashes=128, rows_per_band=4, num_min_matches=2, use_phash_shingles=False
-    )
-    pairs = oracle_ops.minhash_doc_candidates(ids, texts, cfg)
-    rows = oracle_ops.dedup_keep_rows(ids, pairs)
+    ids, pairs = _doc_pair_replica()
+    rows = oracle_ops.dedup_keep_rows(list(ids), list(pairs))
     return _values_sql(rows, ["doc_id", "cluster_id", "keep"], "ssb")
 
 

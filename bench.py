@@ -158,24 +158,34 @@ def run_pipeline_bench(
     )
     df.count()  # materialize input outside the timed region
 
-    elapsed, all_elapsed, out, clusters = None, [], None, None
-    for _ in range(max(reps, 1)):
-        if out is not None:  # drop the previous rep's caches for a clean rep
-            out["signatures"].unpersist()
-            out["pairs"].unpersist()
-            clusters.unpersist()
-            # Shuffle files are only deleted when the ContextCleaner GCs the
-            # dead plan objects; with a large heap (3M-row legs run 96g) the
-            # JVM may never GC on its own, and three reps of ~30 GB shuffle
-            # overran the 80 GB scratch disk.  Explicit GC between reps keeps
-            # scratch bounded to one rep's live set — outside the timed region.
+    def timed_rep(prev):
+        """ONE measured rep — the single definition of the measurement
+        protocol (cache drop → GC → settle → time run_pipeline to the
+        clusters count), shared by the planned loop and the noise-defense
+        extras so the two can never drift apart.
+
+        Cache-drop rationale: shuffle files are only deleted when the
+        ContextCleaner GCs the dead plan objects; with a large heap
+        (3M-row legs run 96g) the JVM may never GC on its own, and three
+        reps of ~30 GB shuffle overran the 80 GB scratch disk.  Explicit
+        GC between reps keeps scratch bounded to one rep's live set —
+        outside the timed region."""
+        if prev is not None:  # drop the previous rep's caches for a clean rep
+            prev[0]["signatures"].unpersist()
+            prev[0]["pairs"].unpersist()
+            prev[1].unpersist()
             spark.sparkContext._jvm.System.gc()
             time.sleep(3.0)
         t0 = time.time()
-        out = run_pipeline(spark, df, cfg)
-        clusters = out["clusters"].persist()
-        clusters.count()  # pipeline fully materialized here (CC materializes pairs)
+        o = run_pipeline(spark, df, cfg)
+        c = o["clusters"].persist()
+        c.count()  # pipeline fully materialized here (CC materializes pairs)
         all_elapsed.append(round(time.time() - t0, 2))
+        return o, c
+
+    all_elapsed, state = [], None
+    for _ in range(max(reps, 1)):
+        state = timed_rep(state)
     # noise defense for one-shot recorded runs: when the planned reps swing
     # hard (this box's documented storm class shows 1.5–3× intra-leg swings),
     # the min is likely still storm-inflated — buy up to 2 extra reps to give
@@ -187,16 +197,8 @@ def run_pipeline_bench(
         and len(all_elapsed) < reps + 2
         and max(all_elapsed) / min(all_elapsed) > 1.4
     ):
-        out["signatures"].unpersist()
-        out["pairs"].unpersist()
-        clusters.unpersist()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(3.0)
-        t0 = time.time()
-        out = run_pipeline(spark, df, cfg)
-        clusters = out["clusters"].persist()
-        clusters.count()
-        all_elapsed.append(round(time.time() - t0, 2))
+        state = timed_rep(state)
+    out, clusters = state
     elapsed = min(all_elapsed)
 
     # persisted by the pipeline and materialized by CC → cache-only count,
@@ -835,8 +837,24 @@ def scaling_bench(
             runs[f"local[{cores}]"].append(_run_child(cmd))
     results: dict = {}
     for level, rs in runs.items():
+        # the docstring's correctness claim, enforced (same gate as
+        # exec_scaling_bench): every rep at every level must produce the
+        # same funnel counts and recall before any throughput is published
+        counts = {
+            (r["n_candidate_pairs"], r["n_verified_pairs"], r["n_clusters"],
+             r["dup_pair_recall"])
+            for r in rs
+        }
+        assert len(counts) == 1, f"output diverged across reps at {level}: {counts}"
         best = min(rs, key=lambda r: r["elapsed_s"])
         results[level] = {**best, "all_elapsed_s": [r["elapsed_s"] for r in rs]}
+    assert (
+        results[f"local[{lo}]"]["n_clusters"] == results[f"local[{hi}]"]["n_clusters"]
+        and results[f"local[{lo}]"]["n_verified_pairs"]
+        == results[f"local[{hi}]"]["n_verified_pairs"]
+        and results[f"local[{lo}]"]["n_candidate_pairs"]
+        == results[f"local[{hi}]"]["n_candidate_pairs"]
+    ), "output diverged across core counts"
     t_lo = results[f"local[{lo}]"]["candidate_pairs_per_sec"]
     t_hi = results[f"local[{hi}]"]["candidate_pairs_per_sec"]
     results["cores_ratio"] = hi / lo
@@ -984,7 +1002,10 @@ def main() -> None:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = None  # cosmetic output field only — a non-sfN dir must not abort
 
     if args.pipeline_only:
         print(

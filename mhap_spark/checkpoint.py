@@ -81,13 +81,19 @@ class CheckpointStore:
             mutate(m)
             self._save_manifest(m)
 
+    def _stage_data_path(self, entry: dict, stage: str) -> str:
+        # versioned layout (round 5): the manifest entry points at its own
+        # immutable version subdir; entries from older checkpoints without a
+        # "path" key fall back to the flat layout they were written with
+        return os.path.join(self.base_dir, entry.get("path", stage))
+
     def has(self, stage: str, config_hash: str) -> bool:
         entry = self._manifest().get(stage)
         if entry is None or entry.get("config_hash") != config_hash:
             return False
         if self.fmt == "iceberg":
             return True  # manifest is authoritative; table existence checked at read
-        return os.path.exists(os.path.join(self.base_dir, stage))
+        return os.path.exists(self._stage_data_path(entry, stage))
 
     # -- IO -----------------------------------------------------------------
     def write(
@@ -104,14 +110,14 @@ class CheckpointStore:
         import fcntl
 
         spark = df.sparkSession
-        # Per-stage writer lock, held across the WHOLE write: the manifest
-        # flock makes each read-modify-write atomic, but invalidating the
-        # entry before a minutes-long data overwrite means a concurrent run
-        # sharing base_dir sees has()==False and starts its own overwrite of
-        # the SAME stage directory — two interleaved delete/rename storms on
-        # one path.  Serializing writers here turns that into write-then-
-        # overwrite (wasted work for the loser, never corruption).  Crash
-        # safety is unchanged: flocks die with the process.
+        # Per-stage writer lock, held across the WHOLE write.  Versioned
+        # subdirs already keep concurrent writers off each other's data, but
+        # the lock still (a) serializes manifest commit + version prune so
+        # one writer cannot prune another's in-progress version dir, and
+        # (b) turns duplicate concurrent computes into write-then-supersede
+        # (wasted work for the loser, never corruption).  Crash safety is
+        # unchanged: flocks die with the process, and a crashed write leaves
+        # only a dangling version subdir that the next commit prunes.
         with open(
             os.path.join(self.base_dir, f".{stage.replace(os.sep, '_')}.write.lock"),
             "w",
@@ -122,12 +128,25 @@ class CheckpointStore:
             # (→ recompute on resume) — never a stale entry whose config_hash
             # still matches a previous run while the directory holds partial
             # data from this one
+            prev_entry = self._manifest().get(stage) or {}
+            prev_version = os.path.basename(prev_entry["path"]) if "path" in prev_entry else None
             self._update_manifest(lambda m: m.pop(stage, None))
             if self.fmt == "iceberg":
                 df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
                 out = spark.read.table(self._table(stage))
+                version = None
             else:
-                path = os.path.join(self.base_dir, stage)
+                # write into a fresh VERSION subdir, never over live data
+                # (Iceberg-style snapshot discipline on plain parquet): a
+                # concurrent reader that passed has() and holds a lazy plan
+                # over the previous version keeps a valid file listing for
+                # the whole overwrite — the flat layout deleted the files
+                # out from under it mid-write.  The previous version is
+                # removed only AFTER the manifest points at the new one,
+                # shrinking the reader hazard from the full multi-minute
+                # write to post-commit cleanup of a superseded version.
+                version = f"v-{self.run_id}-{uuid.uuid4().hex[:8]}"
+                path = os.path.join(self.base_dir, stage, version)
                 df.write.mode("overwrite").parquet(path)
                 out = spark.read.parquet(path)
             if partition_lineage:
@@ -147,13 +166,39 @@ class CheckpointStore:
                 "written_at": time.time(),
                 "format": self.fmt,
             }
+            if version is not None:
+                entry["path"] = f"{stage}/{version}"
             self._update_manifest(lambda m: m.__setitem__(stage, entry))
+            if version is not None:
+                # post-commit cleanup with ONE generation of grace: the
+                # immediately-superseded version survives until the next
+                # write, so a reader holding a lazy plan over it stays valid
+                # across this commit; older versions and dangling subdirs
+                # from crashed writes are removed
+                self._prune_versions(stage, keep={version, prev_version})
         return out
+
+    def _prune_versions(self, stage: str, keep: set) -> None:
+        import shutil
+
+        d = os.path.join(self.base_dir, stage)
+        for name in os.listdir(d):
+            if name in keep:
+                continue
+            p = os.path.join(d, name)
+            if os.path.isdir(p):  # superseded/dangling version subdir
+                shutil.rmtree(p, ignore_errors=True)
+            else:  # part-file left by a pre-versioning flat-layout write
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         if self.fmt == "iceberg":
             return spark.read.table(self._table(stage))
-        return spark.read.parquet(os.path.join(self.base_dir, stage))
+        entry = self._manifest().get(stage) or {}
+        return spark.read.parquet(self._stage_data_path(entry, stage))
 
     def write_metrics(self, spark: SparkSession, stage: str, metrics: dict) -> None:
         """Append one metrics row (funnel counters etc.) to the metrics table."""

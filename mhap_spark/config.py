@@ -176,8 +176,6 @@ class MhapConfig:
     # ten-job wave ran 34 s at 32c for ~10.5 s of kernel work).  False keeps
     # the old fully-lazy behavior (A/B'd by bench.py --cache-ab).
     eager_signature_cache: bool = True
-    shuffle_partitions: int = 32
-    arrow_batch_rows: int = 2048
     salt_buckets: int = 8            # salt fan-out for hot-band pair generation
 
     def band_count(self) -> int:

@@ -128,6 +128,30 @@ def test_resume_from_checkpoint_iceberg(spark, corpus, input_df, tmp_path):
     assert store._manifest()["signatures"]["format"] == "iceberg"
 
 
+def test_checkpoint_versioned_overwrite_keeps_prior_reader(spark, tmp_path):
+    """Versioned stage layout: a lazy reader over the committed version
+    stays valid across ONE subsequent overwrite (grace generation), and
+    read() always resolves the manifest-pointed version."""
+    base = str(tmp_path / "ck")
+    store = CheckpointStore(base)
+    store.write(spark.range(100).withColumnRenamed("id", "x"), "s", "h1")
+    reader_v1 = store.read(spark, "s")
+    assert reader_v1.count() == 100
+
+    store2 = CheckpointStore(base)  # concurrent-run writer, same base_dir
+    store2.write(spark.range(40).withColumnRenamed("id", "x"), "s", "h2")
+    # old reader still valid (v1 kept as grace), new read sees v2
+    assert reader_v1.count() == 100
+    assert store.read(spark, "s").count() == 40
+    assert store.has("s", "h2") and not store.has("s", "h1")
+    # a third write prunes v1: exactly two versions ever on disk
+    store2.write(spark.range(7).withColumnRenamed("id", "x"), "s", "h3")
+    import os as _os
+
+    assert len(_os.listdir(_os.path.join(base, "s"))) == 2
+    assert store.read(spark, "s").count() == 7
+
+
 def test_per_row_invariant_psnr_and_caption(spark, corpus, input_df):
     """BASELINE.json input_hint: decoded-pixel PSNR ≥ 40 dB (lossy), bit-exact
     (lossless), caption passes through unmodified."""
