@@ -42,6 +42,7 @@ def run_pipeline(
     cfg: MhapConfig,
     store: CheckpointStore | None = None,
     candidate_strategy: str = "grouped",
+    input_key: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"signatures", "pairs", "clusters"} DataFrames plus
     "funnel_obs" (an Observation, or None when the pairs stage was resumed
@@ -50,8 +51,17 @@ def run_pipeline(
     materializing, never before (it blocks).
 
     With a store: stages already materialized under the current config hash
-    are skipped (resume semantics, north rule)."""
+    are skipped (resume semantics, north rule).  ``input_key`` names the
+    INPUT identity (e.g. "rows=20000,seed=42", or a table snapshot id) and
+    is folded into the stage hash — without it, two runs sharing a
+    checkpoint dir with the same config but different corpora would
+    silently resume each other's results.  None preserves the config-only
+    key for callers that manage checkpoint dirs per input."""
     ch = cfg.config_hash()
+    if input_key is not None:
+        import hashlib
+
+        ch = f"{ch}-{hashlib.sha256(input_key.encode()).hexdigest()[:12]}"
     t0 = time.time()
 
     # --- stage A: signatures -------------------------------------------------
@@ -167,7 +177,10 @@ def _main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
     ap.add_argument("--checkpoint-dir", default=None)
-    ap.add_argument("--num-hashes", type=int, default=512)
+    # default None: only override the PRESET's num_hashes when explicitly
+    # given — a 512 argparse default silently replaced preset 2's 256 and
+    # preset 3's 768, so the advertised operating points never ran
+    ap.add_argument("--num-hashes", type=int, default=None)
     ap.add_argument("--strategy", default="grouped", choices=["grouped", "join"])
     ap.add_argument(
         "--min-store-shingles",
@@ -214,10 +227,13 @@ def _main() -> None:
     # the CLI knows the corpus size → size-conditional no-broadcast hints
     # (BENCH/HINTS_AB_raw.json: 13-25% cost below 300k rows; the OOM cliff
     # they protect against was measured at 3M)
-    cfg = PRESETS[args.preset].with_overrides(
-        num_hashes=args.num_hashes, min_store_shingles=args.min_store_shingles,
+    overrides = dict(
+        min_store_shingles=args.min_store_shingles,
         no_broadcast_hints=hints_default_for_rows(args.rows),
     )
+    if args.num_hashes is not None:
+        overrides["num_hashes"] = args.num_hashes
+    cfg = PRESETS[args.preset].with_overrides(**overrides)
     corpus = generate_corpus(args.rows, seed=args.seed)
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
         spark.sparkContext.defaultParallelism
@@ -230,7 +246,10 @@ def _main() -> None:
         )
         print(f"auto filter_cutoff={cfg.filter_cutoff:.3e}")
     store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
-    out = run_pipeline(spark, df, cfg, store=store, candidate_strategy=args.strategy)
+    out = run_pipeline(
+        spark, df, cfg, store=store, candidate_strategy=args.strategy,
+        input_key=f"rows={args.rows},seed={args.seed}",
+    )
     n_pairs = out["pairs"].count()
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
     if args.m4_out:

@@ -26,6 +26,22 @@ from mhap_spark.minhash import compute_signatures
 from mhap_spark.verify import verified_pairs
 
 
+def _has_committed_data(path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED parquet part file.
+
+    A crash mid-write of the very first batch leaves the directory holding
+    only an uncommitted ``_temporary`` subtree; ``os.path.exists`` alone
+    then sends every foreachBatch replay into ``spark.read.parquet`` →
+    UNABLE_TO_INFER_SCHEMA, an unrecoverable restart loop.  Walking for a
+    real part file treats that state as "no data yet", letting the replay
+    rewrite the batch cleanly."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_temporary"]
+        if any(f.startswith("part-") for f in files):
+            return True
+    return False
+
+
 class BandIndex:
     """Band-partitioned inverted index for the streaming ``-q`` mode — the
     10^12-row layout that streaming.py previously only described in prose.
@@ -79,7 +95,7 @@ class BandIndex:
         directories to the probe's pfx set (worth it for lookup-style
         probes whose band count ≪ n_prefix)."""
         spark = probe_sigs.sparkSession
-        if not os.path.exists(self.path):
+        if not _has_committed_data(self.path):
             return None
         idx = (
             spark.read.option("basePath", self.path)
@@ -116,12 +132,13 @@ class BandIndex:
             sizes = relevant.groupBy("band_hash").agg(
                 F.count(F.lit(1)).alias("bucket_size")
             )
-            ok = relevant.join(
-                sizes.where(F.col("bucket_size") <= cfg.max_bucket_size).hint(
-                    "shuffle_hash"
-                ),
-                ["band_hash"],
-            )
+            # sizes is bounded by the probed band count (tiny for lookup
+            # probes) — gate the no-broadcast hint on the config like every
+            # other join side instead of forbidding the broadcast outright
+            sizes_ok = sizes.where(F.col("bucket_size") <= cfg.max_bucket_size)
+            if cfg.no_broadcast_hints:
+                sizes_ok = sizes_ok.hint("shuffle_hash")
+            ok = relevant.join(sizes_ok, ["band_hash"])
             out = (
                 ok.join(F.broadcast(probe), ["band_hash"])
                 .where(F.col("probe_id") != F.col("index_id"))
@@ -194,6 +211,20 @@ class IncrementalDedup:
                 "hub edges need the CC stage to close transitive matches, "
                 "which the streaming sink does not run"
             )
+        if cfg.min_store_shingles > 0:
+            # the asymmetric store filter is a batch-index concept: applying
+            # it intra-batch but probing the UNFILTERED accumulated table
+            # cross-batch would report a (short, short) duplicate iff the
+            # two rows arrived in different micro-batches — output depending
+            # on arrival batching, the same contract violation star mode is
+            # rejected for.  Implementing it needs an n_shingles filter on
+            # the index side of both probe paths; until then, reject loudly.
+            raise ValueError(
+                "IncrementalDedup does not support min_store_shingles: the "
+                "store filter would apply intra-batch but not to the "
+                "accumulated index, making match output depend on arrival "
+                "batching"
+            )
         self.base_dir = base_dir
         self.cfg = cfg
         self.freq = freq
@@ -246,7 +277,7 @@ class IncrementalDedup:
         """Accumulated signatures of batches STRICTLY EARLIER than
         ``batch_id`` (a retried batch must not probe its own half-written
         partition), from block cache when ``cache_index`` is on."""
-        if not os.path.exists(self.sig_path):
+        if not _has_committed_data(self.sig_path):
             return None
         if not self.cache_index:
             return spark.read.parquet(self.sig_path).where(
@@ -265,11 +296,11 @@ class IncrementalDedup:
             )
             boot.count()
             self._slices.append((-1, boot))
-        live = [
-            df.where(F.col("batch_id") < F.lit(batch_id))
-            for bid, df in self._slices
-            if bid < batch_id or bid == -1
-        ]
+        # every slice is already batch-pure: the boot slice (bid=-1) bakes
+        # its `< batch_id` filter in at adoption, and each per-batch slice
+        # holds only its own batch's rows — so selecting bid < batch_id
+        # (which the -1 boot always satisfies) needs no re-filtering
+        live = [df for bid, df in self._slices if bid < batch_id]
         if not live:  # first-batch retry on a fresh dir: no earlier batches
             return None
         out = live[0]

@@ -128,6 +128,25 @@ def test_resume_from_checkpoint_iceberg(spark, corpus, input_df, tmp_path):
     assert store._manifest()["signatures"]["format"] == "iceberg"
 
 
+def test_resume_keyed_by_input_identity(spark, corpus, input_df, tmp_path):
+    """Same config + same checkpoint dir + DIFFERENT input_key must NOT
+    resume the other run's stages (the silent-stale-results hazard);
+    same input_key must."""
+    store = CheckpointStore(str(tmp_path / "ck"))
+    out1 = run_pipeline(spark, input_df, CFG, store=store, input_key="rows=1000,seed=7")
+    n1 = out1["clusters"].count()
+
+    small = spark.createDataFrame(
+        corpus_to_rows(generate_corpus(200, seed=9)), INPUT_SCHEMA_DDL
+    ).repartition(4)
+    out2 = run_pipeline(spark, small, CFG, store=store, input_key="rows=200,seed=9")
+    assert out2["clusters"].count() == 200  # recomputed on the new corpus
+    # and running the original input again recomputes it correctly rather
+    # than returning run 2's stages (manifest now points at run 2's key)
+    out3 = run_pipeline(spark, input_df, CFG, store=store, input_key="rows=1000,seed=7")
+    assert out3["clusters"].count() == n1 == 1000
+
+
 def test_checkpoint_versioned_overwrite_keeps_prior_reader(spark, tmp_path):
     """Versioned stage layout: a lazy reader over the committed version
     stays valid across ONE subsequent overwrite (grace generation), and

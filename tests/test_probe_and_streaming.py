@@ -458,6 +458,32 @@ def test_band_index_disables_slice_cache(tmp_path):
     assert flat.cache_index is True and flat.bindex is None
 
 
+def test_incremental_dedup_rejects_min_store(tmp_path):
+    """min_store_shingles would filter intra-batch but not the accumulated
+    index — match output would depend on arrival batching; must refuse."""
+    with pytest.raises(ValueError, match="min_store_shingles"):
+        IncrementalDedup(str(tmp_path), CFG.with_overrides(min_store_shingles=10))
+
+
+def test_streaming_recovers_from_uncommitted_first_write(spark, tmp_path):
+    """A signatures dir holding only a _temporary subtree (crash mid-write
+    of the first batch) must read as 'no index yet', not throw
+    UNABLE_TO_INFER_SCHEMA on every replay."""
+    from mhap_spark.streaming import _has_committed_data
+
+    base = str(tmp_path / "dedup")
+    sig = os.path.join(base, "signatures", "batch_id=0", "_temporary", "0")
+    os.makedirs(sig)
+    with open(os.path.join(sig, "task_000"), "w") as f:
+        f.write("junk")
+    assert not _has_committed_data(os.path.join(base, "signatures"))
+    sink = IncrementalDedup(base, CFG)
+    assert sink._indexed(spark, 0) is None  # replay sees a fresh index
+    # a committed write flips it
+    spark.range(3).write.parquet(os.path.join(base, "signatures", "batch_id=1"))
+    assert _has_committed_data(os.path.join(base, "signatures"))
+
+
 def test_incremental_dedup_rejects_star_mode(tmp_path):
     """Star emission needs the CC stage to close hub-mediated transitive
     matches; the streaming sink runs no CC, so per-batch output would depend
