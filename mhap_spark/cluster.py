@@ -87,7 +87,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     two short ids — a few hundred MB at the 8M default) + a linear
     union-find replaces 5+ shuffle stages × O(log n) rounds.  The measured
     crossover sits ABOVE the default (round 5, tools/cc_microbench.py:
-    at 8M edges, identical checksums, 144 s here vs 266 s for the loop at
+    at 8M edges, identical checksums, 111.7 s here (vectorized contraction,
+    BENCH/CC_CROSSOVER_r5_vecuf.json) vs 131.2 s for the loop in the same
+    window — previously 144 s vs 266 s for the loop at
     32 cores in the same window).  Only ever invoked under an explicit
     edge-count cutoff, so the collect is bounded by configuration, not by
     data."""
