@@ -1214,7 +1214,13 @@ def _bloom_oracle_sql(
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(names=None) -> dict[str, str]:
+    """DuckDB oracle SQL per contract query.  The driver calls this with no
+    arguments and gets every oracle; ``names`` (an iterable of query names)
+    restricts which SEQUENTIAL-REPLICA oracles are actually computed —
+    entries whose value below is a callable are built lazily, so checking
+    one query does not pay for the full numpy pipeline, image decode, and
+    MinHash replica chain (tools/check_contract.py passes its filter)."""
     # SQL is generated against the SAME constants the Spark operators use, so
     # the parity contract pins the formula, not a copy of it
     from mhap_spark.ops.textstats import _LANG_PROFILES, _STOPWORDS
@@ -1228,7 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         lang: " + ".join(tri_count(t) for t in tris)
         for lang, tris in _LANG_PROFILES.items()
     }
-    return {
+    entries = {
         "quality_score": f"""
             -- null/empty text scores 0 outright (engine's `empty` guard,
             -- mirrored: no 0/0-NULL ratios)
@@ -1467,25 +1473,36 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # GRAFT-HASH-1 replicated in pure SQL (HUGEINT-limb mod-2^64
-        # multiplies) — parameters MUST mirror the queries() entries
-        "substring_dup_docs": _winnow_oracle_sql(k=16, window=32, cap=512,
-                                                 min_shared=1),
-        "doc_fingerprint": _fingerprint_oracle_sql(k=8),
-        "bloom_gram_words": _bloom_oracle_sql(k=8),
-        "mhap_signatures": _mhap_signatures_oracle_sql(),
-        "mhap_cluster_sizes": _mhap_cluster_sizes_oracle_sql(),
+        # multiplies) — parameters MUST mirror the queries() entries.
+        # These and the sequential-replica oracles below are CALLABLES,
+        # resolved in the filtered comprehension at the end: the expensive
+        # replicas (numpy pipeline, doc-pair MinHash chain, 600-image
+        # decode, HLL over 60k rows) only run for names actually requested
+        "substring_dup_docs": lambda: _winnow_oracle_sql(
+            k=16, window=32, cap=512, min_shared=1
+        ),
+        "doc_fingerprint": lambda: _fingerprint_oracle_sql(k=8),
+        "bloom_gram_words": lambda: _bloom_oracle_sql(k=8),
+        "mhap_signatures": _mhap_signatures_oracle_sql,
+        "mhap_cluster_sizes": _mhap_cluster_sizes_oracle_sql,
         # round-4/5 sequential-replica oracles (oracle_ops.py): every
         # operator is now driver-hash-checked — approx_distinct closed in
         # round 5 via the HLL++ replica
-        "approx_distinct": _approx_distinct_oracle_sql(),
-        "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql(),
-        "minhash_dedup_keep": _minhash_dedup_keep_oracle_sql(),
-        "embedding_dedup_keep": _embedding_dedup_keep_oracle_sql(),
-        "simhash_near_dup": _simhash_oracle_sql(),
-        "cms_word_freq": _cms_oracle_sql(),
-        "roc_stats_synth": _roc_stats_oracle_sql(),
-        "lsh_ann_neighbors": _lsh_ann_oracle_sql(),
-        "ivf_ann_neighbors": _ivf_ann_oracle_sql(),
-        "image_stats": _image_stats_oracle_sql(),
-        "multimodal_transforms": _multimodal_oracle_sql(),
+        "approx_distinct": _approx_distinct_oracle_sql,
+        "minhash_doc_pairs": _minhash_doc_pairs_oracle_sql,
+        "minhash_dedup_keep": _minhash_dedup_keep_oracle_sql,
+        "embedding_dedup_keep": _embedding_dedup_keep_oracle_sql,
+        "simhash_near_dup": _simhash_oracle_sql,
+        "cms_word_freq": _cms_oracle_sql,
+        "roc_stats_synth": _roc_stats_oracle_sql,
+        "lsh_ann_neighbors": _lsh_ann_oracle_sql,
+        "ivf_ann_neighbors": _ivf_ann_oracle_sql,
+        "image_stats": _image_stats_oracle_sql,
+        "multimodal_transforms": _multimodal_oracle_sql,
+    }
+    wanted = None if names is None else set(names)
+    return {
+        k: (v() if callable(v) else v)
+        for k, v in entries.items()
+        if wanted is None or k in wanted
     }

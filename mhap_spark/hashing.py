@@ -143,7 +143,7 @@ def string_id_hash63(ids) -> np.ndarray:
     bs = [s.encode("utf-8") for s in ids]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
     max_len = int(lens.max())
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     if max_len:
         flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
         # (n, max_len) zero-padded byte matrix — reshape when uniform,
@@ -160,7 +160,7 @@ def string_id_hash63(ids) -> np.ndarray:
             )
             buf = np.zeros((n, max_len), dtype=np.uint8)
             buf.ravel()[rows * max_len + within] = flat
-        prime = np.uint64(0x100000001B3)
+        prime = _FNV_PRIME  # the ONE spec definition — never re-hardcoded
         buf64 = buf.astype(np.uint64)
         uniform = len(flat) == n * max_len
         with np.errstate(over="ignore"):

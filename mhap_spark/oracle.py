@@ -81,8 +81,12 @@ class FreqFilter:
         self.max_idf = self.idf(self.min_value)
 
     def idf(self, freq: float) -> float:
-        # mhap/sketch/FrequencyCounts.java:250-253
-        return math.log(self.max_value / freq - self.cfg.idf_offset)
+        # mhap/sketch/FrequencyCounts.java:250-253.  np.log, NOT math.log:
+        # the engine (freq.py) computes this with np.log, and the two libm
+        # paths disagree in the last ulp on ~20% of inputs on this host —
+        # enough to flip a floor(tf*idf + 0.5) weight at an integer boundary
+        # and desynchronize the xorshift stream length
+        return float(np.log(self.max_value / freq - self.cfg.idf_offset))
 
     def scaled_idf(self, h: int) -> float:
         # mhap/sketch/FrequencyCounts.java:295-311
@@ -185,11 +189,14 @@ def bottom_k_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def jaccard_to_identity(score: float, k: int) -> float:
-    """Mash distance transform (mhap/sketch/BottomOverlapSketch.java:391-395)."""
+    """Mash distance transform (mhap/sketch/BottomOverlapSketch.java:391-395).
+
+    Expression SHAPE mirrors the engine exactly — exp(log(...)/k), not
+    exp(-(-1/k)*log(...)): (1.0/k)*L and L/k differ in the last ulp when k
+    is not a power of two, which could flip a borderline threshold accept."""
     if score <= 0.0:
         return 0.0
-    d = -1.0 / k * math.log(2.0 * score / (1.0 + score))
-    return math.exp(-d)
+    return math.exp(math.log(2.0 * score / (1.0 + score)) / k)
 
 
 def find_pairs(
@@ -227,11 +234,14 @@ def find_pairs(
             if oversize and not (star and cfg.oversize_star == "salt"):
                 continue
             if star:
-                hub = min(bucket, key=lambda r: ids[r])
+                # loop vars named `row`/`member`, NOT `r` — `r` above is
+                # cfg.rows_per_band, and shadowing it here would silently
+                # poison any future band-slicing code below these loops
+                hub = min(bucket, key=lambda row: ids[row])
                 if not oversize:
-                    for r in bucket:
-                        if r != hub:
-                            vote((hub, r), False)
+                    for row in bucket:
+                        if row != hub:
+                            vote((hub, row), False)
                 else:
                     # salted sub-bucket emission — mirrors candidates._pairs_star:
                     # salt = crc32(id) % ceil(size/cap); (sub-hub → member)
@@ -241,14 +251,14 @@ def find_pairs(
                     cap = cfg.max_bucket_size
                     n_salt = (len(bucket) + cap - 1) // cap
                     groups: dict[int, list[int]] = {}
-                    for r in bucket:
-                        s = zlib.crc32(ids[r].encode("utf-8")) % n_salt
-                        groups.setdefault(s, []).append(r)
+                    for row in bucket:
+                        s = zlib.crc32(ids[row].encode("utf-8")) % n_salt
+                        groups.setdefault(s, []).append(row)
                     for members in groups.values():
-                        sub_hub = min(members, key=lambda r: ids[r])
-                        for r in members:
-                            if r != sub_hub:
-                                vote((sub_hub, r), True)
+                        sub_hub = min(members, key=lambda row: ids[row])
+                        for member in members:
+                            if member != sub_hub:
+                                vote((sub_hub, member), True)
                         if sub_hub != hub:
                             vote((hub, sub_hub), True)
             else:

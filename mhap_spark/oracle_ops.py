@@ -145,6 +145,13 @@ def minhash_doc_candidates(
     from mhap_spark import oracle
     from mhap_spark.minhash import band_hashes
 
+    # documents carry NO phash: the engine (ops/dedup.minhash_lsh_doc_pairs)
+    # feeds a NULL phash that shingle_input null-masks to zero phash
+    # shingles.  Passing phash=0 here under a use_phash_shingles=True cfg
+    # would add 49 IDENTICAL phash-0 bit-ngrams to EVERY doc — manufactured
+    # cross-document overlap the engine never sees.  Mirror the null mask by
+    # disabling phash shingles outright for this text-only replica.
+    cfg = cfg.with_overrides(use_phash_shingles=False)
     sigs = []
     keep_ids = []
     for did, text in zip(doc_ids, texts):
@@ -360,8 +367,12 @@ def lsh_ann_rows(
 ) -> list[tuple[int, int, float]]:
     """ops/similarity.lsh_bucketed_neighbors replica: seeded hyperplane sign
     codes per table → same-bucket pairs → exact-cosine rescore ≥ min_cos."""
+    if len(ids) == 0:
+        return []  # engine returns a typed empty frame; mirror with []
     keep = np.array([_fold_norm(x) > 0 for x in X])
     ids, X = ids[keep], X[keep]
+    if len(ids) == 0:
+        return []
     rng_planes = [
         np.random.default_rng(seed + t).standard_normal((n_bits, X.shape[1]))
         for t in range(n_tables)
@@ -395,8 +406,12 @@ def ivf_ann_rows(
     """ops/similarity.ivf_neighbors replica: hash-rank-ordered training
     sample → spherical k-means → multi-probe cell assignment → same-cell
     pairs → exact-cosine rescore."""
+    if len(ids) == 0:
+        return []  # engine returns a typed empty frame; mirror with []
     keep = np.array([_fold_norm(x) > 0 for x in X])
     ids_k, X_k = ids[keep], X[keep]
+    if len(ids_k) == 0:
+        return []
     # training sample: orderBy(xxhash64(id), id).limit(max_sample) — the
     # FULL corpus feeds training (pre-norm-filter, like the engine's df)
     order = sorted(range(len(ids)), key=lambda r: (xxhash64_long(int(ids[r])), int(ids[r])))
@@ -602,19 +617,22 @@ def dedup_keep_rows(
 
 
 def embedding_keep_rows(
-    ids: np.ndarray, X: np.ndarray, labels: list, min_cos: float
+    ids: np.ndarray, X: np.ndarray, labels: list, min_cos: float,
+    max_block_size: int = 8192,
 ) -> list[tuple[int, int, bool]]:
     """ops/similarity.embedding_dedup_keep replica: blocked sequential-fold
     cosine pairs (same JVM fold order as _fold_dot/_fold_norm, zero-norm
-    rows excluded from pairing like with_unit_vectors) → union-find keep
-    manifest over ALL ids (zero-norm rows stay as singletons)."""
+    rows excluded from pairing like with_unit_vectors, blocks above the
+    engine's ``max_block_size`` cap dropped from pairing exactly like its
+    count pre-pass) → union-find keep manifest over ALL ids (zero-norm and
+    capped-block rows stay as singletons)."""
     by_label: dict = {}
     for i in range(len(ids)):
         by_label.setdefault(labels[i], []).append(i)
     pairs = []
     for members in by_label.values():
         live = [i for i in members if _fold_norm(X[i]) > 0]
-        if len(live) < 2:
+        if not 2 <= len(live) <= max_block_size:
             continue
         for a in range(len(live)):
             for b in range(a + 1, len(live)):

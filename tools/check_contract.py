@@ -48,6 +48,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
 
+    # the sequential-replica oracles read THIS env var at entry-module
+    # import — without it a non-default sf_dir would run Spark on one
+    # corpus and every data-dependent oracle on sf0.01, printing spurious
+    # FAILs that look like engine bugs
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     from mhap_spark.session import build_session
     import __spark_entry__ as entrymod
 
@@ -59,7 +65,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # build only the requested oracles — the sequential replicas are the
+    # expensive part of a single-query check
+    oracles = entrymod.oracle_sql(names=only)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -75,8 +83,10 @@ def main() -> int:
             continue
         el = time.time() - t0
         if name not in oracles:
+            # every queries() entry currently has an oracle — this branch
+            # exists for future rows-only additions, with a plain warning
             print(f"rows  {name}: {len(rows)} rows, cols={cols} ({el:.1f}s)")
-            if len(rows) == 0 and name != "lsh_ann_neighbors":
+            if len(rows) == 0:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
