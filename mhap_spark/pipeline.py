@@ -197,6 +197,14 @@ def _main() -> None:
         "(mhap/impl/MatchResult.java:98-113 layout) to this directory",
     )
     ap.add_argument(
+        "--no-images",
+        action="store_true",
+        help="synthesize the corpus without the per-row PNG encode "
+        "(bytes empty, phash from raw pixels) — the large bench tiers' "
+        "corpus mode; REQUIRED for count-comparability with bench.py legs "
+        "at the same row count (the rng stream differs between modes)",
+    )
+    ap.add_argument(
         "--keep-out",
         default=None,
         help="also write the per-row keep/drop manifest (image_id, "
@@ -234,7 +242,7 @@ def _main() -> None:
     if args.num_hashes is not None:
         overrides["num_hashes"] = args.num_hashes
     cfg = PRESETS[args.preset].with_overrides(**overrides)
-    corpus = generate_corpus(args.rows, seed=args.seed)
+    corpus = generate_corpus(args.rows, seed=args.seed, with_images=not args.no_images)
     df = spark.createDataFrame(corpus_to_rows(corpus), INPUT_SCHEMA_DDL).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -248,7 +256,7 @@ def _main() -> None:
     store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
     out = run_pipeline(
         spark, df, cfg, store=store, candidate_strategy=args.strategy,
-        input_key=f"rows={args.rows},seed={args.seed}",
+        input_key=f"rows={args.rows},seed={args.seed},images={int(not args.no_images)}",
     )
     n_pairs = out["pairs"].count()
     n_clusters = out["clusters"].select("cluster_id").distinct().count()

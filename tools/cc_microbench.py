@@ -77,8 +77,14 @@ def main() -> None:
     )
     verts.count()
 
-    # warmup (JIT) on a small slice
-    connected_components(edges.limit(20_000), verts.limit(100)).count()
+    # warmup (JIT) on a small slice — through the SAME branch as the timed
+    # call: a loop-branch-only warmup would leave the driver-finish path's
+    # first-execution costs (collect plan, numpy allocations) inside the
+    # crossover measurement this tool exists to make
+    connected_components(
+        edges.limit(20_000), verts.limit(100),
+        driver_finish_edges=args.driver_finish,
+    ).count()
 
     t0 = time.time()
     out = connected_components(

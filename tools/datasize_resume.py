@@ -7,8 +7,9 @@ pins the protocol at 2k rows; this tool exercises it on a multi-minute run:
 1. launch ``python -m mhap_spark.pipeline --rows N --preset 4
    --checkpoint-dir D`` as a child process;
 2. poll ``D/manifest.json`` until checkpoint B (the ``pairs`` stage) is
-   committed, then SIGKILL the child mid-CC — a hard crash, no JVM
-   shutdown hooks;
+   committed, then SIGKILL the child's whole process group mid-CC — a
+   hard crash for python AND the JVM (killing only the wrapper would let
+   the JVM exit gracefully through its stdin-EOF shutdown hooks);
 3. relaunch the identical command against the same dir and time it;
 4. verify from the manifest's per-stage ``run_id`` lineage that the
    resumed run REUSED signatures + pairs (their run_ids still belong to
@@ -38,8 +39,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _spawn(rows: int, cores: int, ckpt: str) -> subprocess.Popen:
+def _spawn(rows: int, cores: int, ckpt: str, log_path: str) -> subprocess.Popen:
+    """Child output goes to a FILE, never a PIPE the poll loop doesn't
+    drain: the child JVM inherits these fds, and a filled 64 KB pipe would
+    block its logging thread mid-run — the leg would hang before 'pairs'
+    ever commits.  start_new_session puts python AND the JVM it launches in
+    one process group so the kill below reaches both."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    log = open(log_path, "w")
     return subprocess.Popen(
         [
             sys.executable,
@@ -49,6 +56,8 @@ def _spawn(rows: int, cores: int, ckpt: str) -> subprocess.Popen:
             str(rows),
             "--preset",
             "4",
+            "--no-images",  # bench-corpus mode: count-comparable + no
+            # multi-minute python-loop PNG encode before Spark starts
             "--checkpoint-dir",
             ckpt,
             "--master",
@@ -56,9 +65,10 @@ def _spawn(rows: int, cores: int, ckpt: str) -> subprocess.Popen:
         ],
         cwd=REPO,
         env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        stdout=log,
+        stderr=log,
         text=True,
+        start_new_session=True,
     )
 
 
@@ -85,25 +95,33 @@ def main() -> None:
 
     # -- leg 1: run until checkpoint B commits, then SIGKILL ------------------
     t0 = time.time()
-    child = _spawn(args.rows, args.cores, ckpt)
+    log1 = os.path.join(ckpt, "leg1.log")
+    child = _spawn(args.rows, args.cores, ckpt, log1)
     killed_at = None
     stages_at_kill: list[str] = []
     manifest_at_kill: dict = {}
-    while child.poll() is None:
+    deadline = t0 + 4 * 3600  # bound the poll — never hang forever
+    while child.poll() is None and time.time() < deadline:
         m = _manifest(ckpt)
         if "pairs" in m:
             stages_at_kill = sorted(m)
             manifest_at_kill = m  # keep the dict that confirmed 'pairs' —
             # a later re-read can race the writer's atomic replace and
             # return {} after a multi-minute leg
-            child.kill()  # SIGKILL: no shutdown hooks, the crash case
+            # SIGKILL the whole PROCESS GROUP: killing only the python
+            # wrapper lets the JVM see stdin EOF and exit through its
+            # shutdown hooks — a graceful stop, not the crash this tool
+            # exists to test.  killpg reaches python and the JVM at once.
+            os.killpg(child.pid, signal.SIGKILL)
             killed_at = time.time() - t0
             break
         time.sleep(1.0)
     child.wait()
     if killed_at is None:
+        with open(log1) as f:
+            tail = f.read()[-2000:]
         print(json.dumps({"error": "child finished before pairs checkpoint",
-                          "stdout": child.stdout.read()[-2000:]}))
+                          "log_tail": tail}))
         sys.exit(1)
     run1_id = manifest_at_kill["pairs"]["run_id"]
     result["leg1_killed_after_s"] = round(killed_at, 1)
@@ -111,11 +129,14 @@ def main() -> None:
 
     # -- leg 2: identical command, same dir — must resume ---------------------
     t1 = time.time()
-    child2 = _spawn(args.rows, args.cores, ckpt)
-    out2, err2 = child2.communicate(timeout=3600)
+    log2 = os.path.join(ckpt, "leg2.log")
+    child2 = _spawn(args.rows, args.cores, ckpt, log2)
+    child2.wait(timeout=3600)
     leg2 = time.time() - t1
+    with open(log2) as f:
+        out2 = f.read()
     if child2.returncode != 0:
-        print(json.dumps({"error": "resume leg failed", "stderr": err2[-3000:]}))
+        print(json.dumps({"error": "resume leg failed", "log_tail": out2[-3000:]}))
         sys.exit(1)
     final = [l for l in out2.splitlines() if l.startswith("pairs=")]
     result["leg2_resume_elapsed_s"] = round(leg2, 1)
@@ -139,8 +160,12 @@ def main() -> None:
     sys.path.insert(0, REPO)
     import bench
 
+    from mhap_spark.checkpoint import CheckpointStore
+
     spark = build_session("resume_verify", master="local[8]")
-    clusters = spark.read.parquet(os.path.join(ckpt, "clusters"))
+    # resolve through the store — stages live in manifest-pointed VERSION
+    # subdirs since the round-5 versioned layout, not flat parquet dirs
+    clusters = CheckpointStore(ckpt).read(spark, "clusters")
     assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
     corpus = generate_corpus(args.rows, seed=42, with_images=False)
     result["n_rows_clustered"] = len(assign)

@@ -25,8 +25,16 @@ def _event_lines(path: str):
     """Yield event-log lines from a single-file log, a rolling-log directory
     (eventlog_v2_*/events_N_* parts, in order), or a .zstd-compressed part."""
     if os.path.isdir(path):
+        # numeric part order: lexicographic would put events_10 before
+        # events_2, splitting jobs across mis-ordered parts
+        def part_no(f: str) -> int:
+            try:
+                return int(f.split("_")[1])
+            except (IndexError, ValueError):
+                return 1 << 30
         parts = sorted(
-            f for f in os.listdir(path) if f.startswith("events_")
+            (f for f in os.listdir(path) if f.startswith("events_")),
+            key=part_no,
         )
         for p in parts:
             yield from _event_lines(os.path.join(path, p))
@@ -54,11 +62,15 @@ def parse(path: str) -> dict:
         kind = ev.get("Event")
         if kind == "SparkListenerJobStart":
             props = ev.get("Properties") or {}
-            jobs[ev["Job ID"]] = {
-                "start": ev["Submission Time"],
-                "callsite": props.get("callSite.short", ""),
-                "n_stages": len(ev.get("Stage Infos") or []),
-            }
+            # merge, never overwrite: if the JobEnd was parsed first (parts
+            # processed out of order, or a rolling log split mid-job) a
+            # fresh dict here would silently discard its "end"
+            j = jobs.setdefault(ev["Job ID"], {})
+            j.update(
+                start=ev["Submission Time"],
+                callsite=props.get("callSite.short", ""),
+                n_stages=len(ev.get("Stage Infos") or []),
+            )
         elif kind == "SparkListenerJobEnd":
             j = jobs.setdefault(ev["Job ID"], {})
             j["end"] = ev["Completion Time"]
@@ -127,10 +139,14 @@ def main() -> None:
     min_ms = 0
     if "--min-job-ms" in sys.argv:
         min_ms = int(sys.argv[sys.argv.index("--min-job-ms") + 1])
-    if os.path.isdir(target):
+    if os.path.isdir(target) and not any(
+        f.startswith("events_") for f in os.listdir(target)
+    ):
+        # a dir OF logs (not a rolling eventlog_v2 dir, which parse()
+        # handles whole): pick the newest actual log entry
         files = sorted(
             (os.path.join(target, f) for f in os.listdir(target)
-             if not f.startswith(".")),
+             if not f.startswith(".") and not f.startswith("appstatus_")),
             key=os.path.getmtime,
         )
         target = files[-1]

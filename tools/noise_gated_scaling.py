@@ -142,7 +142,16 @@ def main() -> None:
             c: min(e["leg"]["elapsed_s"] for e in record["accepted"][c])
             for c in (args.lo, args.hi)
         }
-        pairs = record["accepted"][args.lo][0]["leg"]["n_candidate_pairs"]
+        # the ratio reduces to best_lo/best_hi algebraically — the pairs
+        # count only matters as a CROSS-LEG EQUALITY check, so enforce it
+        # (a diverged output must never publish a throughput ratio)
+        all_counts = {
+            e["leg"]["n_candidate_pairs"]
+            for c in (args.lo, args.hi)
+            for e in record["accepted"][c]
+        }
+        assert len(all_counts) == 1, f"output diverged across legs: {all_counts}"
+        pairs = all_counts.pop()
         t_lo = pairs / best[args.lo]
         t_hi = pairs / best[args.hi]
         record["best_elapsed_s"] = {f"local[{c}]": best[c] for c in (args.lo, args.hi)}

@@ -3,8 +3,10 @@
 One warm JVM, alternating blocked (32k-key blocks) and unblocked (2^62)
 reps so host drift cancels; the toggle rides to executors through the
 closure capture in compute_signatures (a module-global lookup inside the
-worker would re-import the default).  Asserts identical n_shingles
-checksums across every rep.
+worker would re-import the default).  Asserts an identical SIGNATURE
+checksum (xor of per-row hashes over sig+bottomk+bands) across every rep —
+n_shingles alone is computed before the kernel and could never detect a
+blocked-path divergence.
 
 Usage: python tools/sketch_block_ab.py [rows] [reps] [cores]
 """
@@ -31,19 +33,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PRESET_SCALE
     df = (
-        spark.createDataFrame(corpus_to_rows(generate_corpus(rows)), INPUT_SCHEMA_DDL)
+        spark.createDataFrame(
+            corpus_to_rows(generate_corpus(rows, with_images=False)),
+            INPUT_SCHEMA_DDL,
+        )
         .repartition(64)
         .persist()
     )
     df.count()
     freq = FreqTable.compute(df, cfg)
 
+    from pyspark.sql import functions as F
+
     def run(base: int) -> tuple[float, int]:
         mh._BLOCK_KEYS_BASE = base
         t0 = time.perf_counter()
+        # checksum over the KERNEL OUTPUT (sig/bottomk/bands), not
+        # n_shingles — shingling happens before batch_minhash, so an
+        # n_shingles sum is blind to any blocked-kernel divergence
         n = (
             compute_signatures(df, cfg, freq)
-            .agg({"n_shingles": "sum"})
+            .select(
+                F.bit_xor(
+                    F.xxhash64(
+                        "image_id", F.to_json(F.struct("sig", "bottomk", "bands"))
+                    )
+                ).alias("cs")
+            )
             .collect()[0][0]
         )
         return time.perf_counter() - t0, n
