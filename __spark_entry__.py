@@ -697,20 +697,24 @@ def _oracle_docs(sf_dir: str = None) -> tuple[list[str], list[str]]:
     return [r[0] for r in rows], [r[1] for r in rows]
 
 
-def _oracle_embeddings(sf_dir: str = None):
+def _oracle_embeddings(sf_dir: str = None, with_labels: bool = False):
     """(vec_ids int64 array, vectors float64 matrix — the element-wise
-    array<float>→array<double> cast the engine applies)."""
+    array<float>→array<double> cast the engine applies[, labels list]).
+    The ONE place that mirrors the engine's float cast — every vector
+    oracle loads through here."""
     import duckdb
     import numpy as np
 
     rows = duckdb.sql(
-        "SELECT vec_id, embedding FROM "
+        "SELECT vec_id, embedding, label FROM "
         f"read_parquet('{sf_dir or _ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
     ).fetchall()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     X = np.array(
         [np.asarray(r[1], dtype=np.float32).astype(np.float64) for r in rows]
     )
+    if with_labels:
+        return ids, X, [r[2] for r in rows]
     return ids, X
 
 
@@ -787,21 +791,9 @@ def _embedding_dedup_keep_oracle_sql() -> str:
     """DuckDB oracle for embedding_dedup_keep: blocked sequential-fold
     cosine pairs + union-find (oracle_ops.embedding_keep_rows) over the
     same embeddings table, emitted as a VALUES literal."""
-    import duckdb
-
-    import numpy as np
-
     from mhap_spark import oracle_ops
 
-    rows = duckdb.sql(
-        "SELECT vec_id, label, embedding FROM "
-        f"read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
-    ).fetchall()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    labels = [r[1] for r in rows]
-    X = np.array(
-        [np.asarray(r[2], dtype=np.float32).astype(np.float64) for r in rows]
-    )
+    ids, X, labels = _oracle_embeddings(with_labels=True)
     out = oracle_ops.embedding_keep_rows(ids, X, labels, min_cos=0.35)
     return _values_sql(out, ["vec_id", "cluster_id", "keep"], "iib")
 

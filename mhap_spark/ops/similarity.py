@@ -300,7 +300,9 @@ def ivf_neighbors(
                 df, n_centroids, sample_mod=sample_mod, seed=seed,
                 id_col=id_col, vec_col=vec_col,
             )
-        except ValueError:
+        except ValueError as e:
+            if "no vectors to train" not in str(e):
+                raise  # real data errors (ragged dims etc.) must propagate
             # empty (or all-null-embedding) input: return the typed empty
             # pairs frame, same contract as lsh_bucketed_neighbors — a
             # robust pipeline must not crash on an empty shard

@@ -628,6 +628,9 @@ def embedding_keep_rows(
     capped-block rows stay as singletons)."""
     by_label: dict = {}
     for i in range(len(ids)):
+        if labels[i] is None:
+            continue  # SQL null != null: the engine's equi-join on blk
+            # never pairs null-label rows — they stay singletons
         by_label.setdefault(labels[i], []).append(i)
     pairs = []
     for members in by_label.values():

@@ -77,13 +77,18 @@ def main() -> None:
     )
     verts.count()
 
-    # warmup (JIT) on a small slice — through the SAME branch as the timed
-    # call: a loop-branch-only warmup would leave the driver-finish path's
-    # first-execution costs (collect plan, numpy allocations) inside the
-    # crossover measurement this tool exists to make
+    # warmup (JIT) on a small slice — through the SAME branch the TIMED
+    # call will take: the timed call drives the driver-finish path iff the
+    # edge set is at or under the cutoff, so mirror that decision for the
+    # 20k warmup slice (passing the raw cutoff would warm the WRONG branch
+    # when 0 < cutoff < edges, leaving the loop's first-execution costs
+    # inside the measurement)
+    warm_finish = (
+        args.driver_finish if 0 < args.driver_finish >= args.edges else 0
+    )
     connected_components(
         edges.limit(20_000), verts.limit(100),
-        driver_finish_edges=args.driver_finish,
+        driver_finish_edges=warm_finish,
     ).count()
 
     t0 = time.time()

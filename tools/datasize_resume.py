@@ -47,6 +47,13 @@ def _spawn(rows: int, cores: int, ckpt: str, log_path: str) -> subprocess.Popen:
     one process group so the kill below reaches both."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     log = open(log_path, "w")
+    try:
+        return _popen(rows, cores, ckpt, env, log)
+    finally:
+        log.close()  # the child holds its own duplicated fd
+
+
+def _popen(rows, cores, ckpt, env, log) -> subprocess.Popen:
     return subprocess.Popen(
         [
             sys.executable,
@@ -116,6 +123,13 @@ def main() -> None:
             killed_at = time.time() - t0
             break
         time.sleep(1.0)
+    if child.poll() is None and killed_at is None:
+        # deadline exceeded with the child wedged pre-checkpoint: kill the
+        # group BEFORE wait(), or wait() itself hangs on the stuck leg
+        os.killpg(child.pid, signal.SIGKILL)
+        child.wait()
+        print(json.dumps({"error": "deadline exceeded before pairs checkpoint"}))
+        sys.exit(1)
     child.wait()
     if killed_at is None:
         with open(log1) as f:
