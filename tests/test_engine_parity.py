@@ -84,7 +84,7 @@ def test_candidates_match_oracle(spark, corpus, oracle_state, engine_sigs, strat
         for r in candidate_pairs(sig_df, CFG, strategy=strategy).collect()
     }
     want_rows = oracle.find_pairs(
-        corpus["image_id"], sigs_o, bottoms_o, CFG.with_overrides(threshold=-1.0)
+        corpus["image_id"], sigs_o, bottoms_o, CFG.with_overrides(threshold=-1.0, min_jaccard=-1.0)
     )
     want = {(a, b): v for a, b, v, *_ in want_rows}
     assert got == want

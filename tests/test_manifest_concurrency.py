@@ -43,7 +43,15 @@ def test_concurrent_manifest_updates_lose_nothing(tmp_path):
         p.start()
     for p in procs:
         p.join(timeout=120)
-        assert p.exitcode == 0
+    # kill any hung worker BEFORE asserting, so a flock deadlock (the
+    # failure mode this test exists to catch) reports a clear timeout and
+    # leaves no zombie mutating manifest.json under the asserts below
+    hung = [p for p in procs if p.exitcode is None]
+    for p in hung:
+        p.kill()
+        p.join()
+    assert not hung, f"{len(hung)} workers timed out after 120s (flock deadlock?)"
+    assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
     with open(os.path.join(base, "manifest.json")) as f:
         m = json.load(f)
     for w in range(N_WORKERS):

@@ -70,7 +70,6 @@ def test_frame_sample_real_avi_demux(spark):
         ("vid_mjpg", bytearray(mjpg), 16, 16, "avi", "", 0),
     ]
     df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
-    out = {r["image_id"]: r for r in []}
     got = frame_sample(df, n_frames=3).collect()
     by_img = {}
     for r in got:
@@ -190,7 +189,8 @@ def test_image_stats_non_multiple_of_32_dims(spark):
     from mhap_spark.ops.multimodal import image_stats
 
     px = np.random.default_rng(3).integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
-    ph = np.int64(np.uint64(phash64(px)))  # direct call also must not raise
+    ph_u = phash64(px)  # direct call also must not raise
+    ph = ph_u - (1 << 64) if ph_u >= (1 << 63) else ph_u  # numpy-2-safe
     df = spark.createDataFrame(
         [("x", bytearray(encode_image(px, "png")), 40, 40, "png", "c", int(ph))],
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",

@@ -118,7 +118,10 @@ def test_simhash_blocking_recall_at_radius(spark):
         other = base
         for b in flip_bits:
             other ^= 1 << int(b)
-        other = np.int64(np.uint64(other & 0xFFFFFFFFFFFFFFFF))
+        o = other & 0xFFFFFFFFFFFFFFFF
+        # explicit two's-complement: np.int64(np.uint64(x)) wraps on
+        # numpy 1.x but raises OverflowError on numpy >= 2.0
+        other = o - (1 << 64) if o >= (1 << 63) else o
         a_id, b_id = f"p{vid:04d}a", f"p{vid:04d}b"
         rows.append((a_id, int(np.int64(base))))
         rows.append((b_id, int(other)))
@@ -169,7 +172,7 @@ def test_substring_dup_pairs_winnowing(spark):
         want = sorted(
             int(x) for x in {min(h[i : i + w]) for i in range(max(len(h) - w + 1, 1))}
         ) if len(h) else []
-        want = [np.int64(np.uint64(x)).item() for x in want]
+        want = [x - (1 << 64) if x >= (1 << 63) else x for x in want]
         assert got_fp[str(doc_id)] == want
 
 
@@ -221,7 +224,7 @@ def test_embedding_near_dup_and_lsh_recall(spark):
     }
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall}"
-    assert ann <= exact | set()  # rescore gate means no false accepts
+    assert ann <= exact  # rescore gate means no false accepts
 
 
 def test_similarity_null_and_empty_robustness(spark):
@@ -400,12 +403,18 @@ def test_lang_id(spark, docs):
     assert got[4] == "de"
 
 
-def test_fingerprint_order_insensitive_content_sensitive(spark, docs):
+def test_fingerprint_deterministic_and_content_sensitive(spark, docs):
     got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, k=4).collect()}
     assert got[0] != got[1] and got[0] != got[3]
-    # same content, shuffled word order → same multiset of most 4-grams? No —
-    # fingerprints hash positional windows; only identical text matches:
-    assert got[0] == got[0]
+    # determinism: recomputing the same docs yields identical fingerprints
+    again = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, k=4).collect()}
+    assert got == again
+    # single-character sensitivity: one edit must change the xor of k-grams
+    one_edit = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dot", "en", "a", 44)],
+        docs.schema,
+    )
+    assert fingerprint(one_edit, k=4).collect()[0]["fingerprint"] != got[0]
 
 
 def test_simhash_negative_votes_signed(spark):

@@ -3,6 +3,8 @@ mirrors the reference's statistical validation strategy (SURVEY.md §5.1):
 Jaccard-estimation properties (mhap/main/KmerStatSimulator.java) and
 sensitivity on planted duplicates (mhap/main/EstimateROC.java)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -154,7 +156,10 @@ def test_duckdb_canon_matches_engine():
     assert got == want
 
     # the ASCII assumption that makes lower() equal casefold() actually
-    # holds on the corpus the driver gate runs over
+    # holds on the corpus the driver gate runs over (portable half above
+    # always runs; this half needs the sandbox's test data)
+    if not os.path.exists("/root/testdata/sf0.001/documents.parquet"):
+        pytest.skip("driver test data not present on this machine")
     docs = con.execute(
         "SELECT count(*) FROM read_parquet("
         "'/root/testdata/sf0.001/documents.parquet') "

@@ -44,8 +44,12 @@ def test_probe_candidates_vs_self_join(spark):
         (a_, b_): v for (a_, b_), v in self_pairs.items()
         if (a_ in ids_a) != (b_ in ids_a)
     }
-    # probe emits (probe, index) orientation; canonicalize to src<dst
-    got_canon = {tuple(sorted(k)): v for k, v in got.items() if k[0] in ids_a and k[1] in ids_b}
+    # probe emits (probe, index) orientation — assert it for EVERY row
+    # first (a filtered comparison would silently drop malformed intra-set
+    # pairs), then compare the full canonicalized maps
+    for a_, b_ in got:
+        assert a_ in ids_a and b_ in ids_b, (a_, b_)
+    got_canon = {tuple(sorted(k)): v for k, v in got.items()}
     want_canon = {tuple(sorted(k)): v for k, v in cross.items()}
     assert got_canon == want_canon
 
@@ -102,16 +106,14 @@ def test_min_store_shingles_filter(spark):
     sigs.unpersist()
 
 
-def test_incremental_streaming_dedup(spark, tmp_path):
-    """Stream the corpus in file-chunks; every near-dup pair that spans
-    batches must be found by the probe join."""
-    corpus = generate_corpus(200, seed=5)
-    rows = corpus_to_rows(corpus)
+def _write_chunked_parquet(tmp_path, rows, n_chunks: int = 4) -> str:
+    """One parquet file per micro-batch boundary; shared by the streaming
+    tests so the fixture schema lives in exactly one place."""
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    # write 4 parquet files (micro-batch boundaries)
-    for i in range(4):
-        chunk = rows[i * 50 : (i + 1) * 50]
+    per = len(rows) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
         tbl = pa.table(
             {
                 "image_id": [r[0] for r in chunk],
@@ -124,6 +126,15 @@ def test_incremental_streaming_dedup(spark, tmp_path):
             }
         )
         pq.write_table(tbl, os.path.join(in_dir, f"part{i}.parquet"))
+    return in_dir
+
+
+def test_incremental_streaming_dedup(spark, tmp_path):
+    """Stream the corpus in file-chunks; every near-dup pair that spans
+    batches must be found by the probe join."""
+    corpus = generate_corpus(200, seed=5)
+    rows = corpus_to_rows(corpus)
+    in_dir = _write_chunked_parquet(tmp_path, rows)
 
     base = str(tmp_path / "dedup")
     sink = IncrementalDedup(base, CFG)
@@ -157,22 +168,7 @@ def test_streaming_keep_manifest_first_arrival(spark, tmp_path):
     wins) or to a smaller id within the same batch."""
     corpus = generate_corpus(200, seed=5)
     rows = corpus_to_rows(corpus)
-    in_dir = str(tmp_path / "in")
-    os.makedirs(in_dir)
-    for i in range(4):
-        chunk = rows[i * 50 : (i + 1) * 50]
-        tbl = pa.table(
-            {
-                "image_id": [r[0] for r in chunk],
-                "bytes": pa.array([bytes(r[1]) for r in chunk], pa.binary()),
-                "w": pa.array([r[2] for r in chunk], pa.int32()),
-                "h": pa.array([r[3] for r in chunk], pa.int32()),
-                "fmt": [r[4] for r in chunk],
-                "caption": [r[5] for r in chunk],
-                "phash": pa.array([r[6] for r in chunk], pa.int64()),
-            }
-        )
-        pq.write_table(tbl, os.path.join(in_dir, f"part{i}.parquet"))
+    in_dir = _write_chunked_parquet(tmp_path, rows)
 
     base = str(tmp_path / "dedup")
     sink = IncrementalDedup(base, CFG, keep_manifest=True)

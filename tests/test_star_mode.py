@@ -45,7 +45,7 @@ def test_star_candidates_match_oracle(spark, corpus, input_df):
     want = {
         (a, b): v
         for a, b, v, *_ in oracle.find_pairs(
-            corpus["image_id"], sigs_o, bottoms, CFG_STAR.with_overrides(threshold=-1.0)
+            corpus["image_id"], sigs_o, bottoms, CFG_STAR.with_overrides(threshold=-1.0, min_jaccard=-1.0)
         )
     }
     assert got == want
@@ -76,7 +76,7 @@ def test_scale_preset_matches_oracle_and_truth(spark, corpus, input_df):
     want = {
         (a, b): v
         for a, b, v, *_ in oracle.find_pairs(
-            corpus["image_id"], sigs_o, bottoms, cfg.with_overrides(threshold=-1.0)
+            corpus["image_id"], sigs_o, bottoms, cfg.with_overrides(threshold=-1.0, min_jaccard=-1.0)
         )
     }
     assert got == want
@@ -151,7 +151,7 @@ def test_mega_cluster_salted_candidates_match_oracle(spark, mega_corpus, mega_df
             mega_corpus["image_id"],
             sigs_o,
             bottoms,
-            CFG_MEGA.with_overrides(threshold=-1.0),
+            CFG_MEGA.with_overrides(threshold=-1.0, min_jaccard=-1.0),
         )
     }
     assert got == want
