@@ -126,15 +126,35 @@ def _q_supplier_vote_pairs(spark, sf_dir):
     """MHAP vote-count analog (mhap/impl/MinHashSearch.java:161-204): supplier
     pairs sharing ≥ 40 distinct parts — join on the shared key, canonical
     src<dst, groupBy count, HAVING gate."""
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
-    l, r = li.alias("l"), li.alias("r")
+    # one groupBy-collect_set + double explode instead of the former
+    # distinct + self-equi-join (round-6 optimization, guide §2.4): the
+    # shared-key pair enumeration is the same inverted-index pattern as
+    # candidates._pairs_grouped — the old plan scanned lineitem twice,
+    # ran the (l_suppkey, l_partkey) distinct twice, and broadcast one
+    # 160k-row side; this plan is one scan, one exchange on l_partkey
+    # (collect_set dedupes suppliers per part — exactly the old distinct),
+    # then the same (src < dst, count, >= 40) gate.  2 Exchanges vs 4,
+    # 1 scan vs 2, no broadcast build.  Per-part supplier sets are
+    # bounded by the supplier fan-out (TPC-H: 4), so the collected lists
+    # stay tiny; the pair count per part is identical to the join's.
+    # keyed repartition: the single-file scan otherwise runs the 8.7M-pair
+    # explosion and its partial vote aggregation in ONE task (measured
+    # 2.7 s → 1.5 s); hash-partitioning on the groupBy key means the
+    # collect_set aggregation reuses this exchange — no extra shuffle — and
+    # the explode + vote partial-agg then run at full width.  Conditional:
+    # a multi-file input at scale already parallelizes and skips it.
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par, "l_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.collect_set("l_suppkey").alias("sups")
+    )
     return (
-        l.join(r, on=[F.col("l.l_partkey") == F.col("r.l_partkey"),
-                      F.col("l.l_suppkey") < F.col("r.l_suppkey")])
-        .groupBy(
-            F.col("l.l_suppkey").alias("src_supp"),
-            F.col("r.l_suppkey").alias("dst_supp"),
-        )
+        per_part.select(F.explode("sups").alias("src_supp"), "sups")
+        .select("src_supp", F.explode("sups").alias("dst_supp"))
+        .where(F.col("src_supp") < F.col("dst_supp"))
+        .groupBy("src_supp", "dst_supp")
         .agg(F.count(F.lit(1)).alias("votes"))
         .where(F.col("votes") >= 40)
     )

@@ -113,6 +113,31 @@ def _pairs_grouped(eligible: DataFrame) -> DataFrame:
     )
 
 
+def _pairs_grouped_onepass(bands: DataFrame, cfg: MhapConfig) -> DataFrame:
+    """Single-subtree grouped pair emission (round-6 optimization, guide
+    §2.4): bucket sizing via a window count over the SAME exchange the
+    collect_list groupBy uses, instead of a separate ``bucket_sizes``
+    aggregation joined back onto a second copy of ``bands``.
+
+    Why it matters: the two-subtree form evaluates the upstream plan twice —
+    for an unpersisted signature source (the ops-layer MinHash/doc queries)
+    that re-runs the whole Arrow sketch kernel, which the round-6 plan
+    audit measured as 2 MapInPandas executions per query.  The window form
+    keeps the mega-bucket discipline intact: the count is computed without
+    collecting any list (WindowExec sorts, spills, and never materializes a
+    bucket), over-cap buckets are filtered BEFORE collect_list, and the
+    groupBy reuses the window's hash partitioning so no second exchange
+    appears.  Output is identical to ``_pairs_grouped`` over
+    ``_eligible_bands`` (same eligible set, same pair emission)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_hash")
+    eligible = bands.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(w)
+    ).where(F.col("bucket_size").between(2, cfg.max_bucket_size))
+    return _pairs_grouped(eligible)
+
+
 def _pairs_join(eligible: DataFrame, cfg: MhapConfig, hot_threshold: int) -> DataFrame:
     """Salted self-equi-join.  Cold buckets join on the bare band key; hot
     buckets (size > hot_threshold) get the classic skew treatment: the left
@@ -333,6 +358,18 @@ def candidate_pairs(
                 >= F.when(F.col("any_oversize"), F.lit(1)).otherwise(F.lit(gate))
             )
             .select(*cols)
+        )
+    if strategy == "grouped" and funnel_obs is None:
+        # fast path: no funnel metrics requested → bucket sizing rides the
+        # collect_list exchange as a window count (one evaluation of the
+        # signature subtree; see _pairs_grouped_onepass).  The funnel path
+        # keeps the standalone sizes aggregation because the Observation's
+        # per-bucket metrics are defined over one-row-per-bucket input.
+        pairs = _pairs_grouped_onepass(bands, cfg)
+        return (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .filter(F.col("votes") >= F.lit(cfg.min_band_matches()))
         )
     sizes = bucket_sizes(bands)
     if funnel_obs is not None:

@@ -132,9 +132,13 @@ def minhash_lsh_doc_pairs(
     applied to a pure-text corpus; hash-dependent → rows-only oracle)."""
     from mhap_spark.candidates import candidate_pairs
     from mhap_spark.minhash import compute_signatures
+    from mhap_spark.parallel import spread
 
     if cfg is None:
         cfg = _doc_cfg(df)
+    # single-file sources otherwise run the whole sketch kernel in ONE task
+    # (round-6 plan audit); no-op when the scan already parallelizes
+    df = spread(df)
     src = df.select(
         F.col(id_col).cast("string").alias("image_id"),
         F.col(text_col).alias("caption"),
@@ -244,7 +248,9 @@ def winnowed_fingerprints(
                 yield pd.DataFrame({"doc_id": pd.Series([], dtype=str),
                                     "fp": pd.Series([], dtype=np.int64)})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    from mhap_spark.parallel import spread
+
+    return spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, FP_PAIR_SCHEMA
     )
 
@@ -266,12 +272,22 @@ def substring_dup_pairs(
     an exact blocking for long-substring duplication.  Same bucket-cap
     discipline as every other pair generator; votes = number of shared
     fingerprints (monotone in shared-substring length)."""
+    from pyspark.sql import Window
+
+    # one-pass bucket-capped pair emission (round-6, guide §2.4): the former
+    # sizes-join + fingerprint self-join evaluated the winnowing kernel FOUR
+    # times (plan audit: 4 MapInPandas nodes) — the window count rides the
+    # same exchange as the collect_list groupBy, over-cap fingerprints are
+    # dropped before any list materializes, and the kernel runs once.
     fps = winnowed_fingerprints(df, k=k, window=window, id_col=id_col, text_col=text_col)
-    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bs"))
-    ok = fps.join(sizes.where(F.col("bs").between(2, max_bucket_size)), ["fp"]).drop("bs")
+    w = Window.partitionBy("fp")
+    ok = fps.withColumn("bs", F.count(F.lit(1)).over(w)).where(
+        F.col("bs").between(2, max_bucket_size)
+    )
+    grouped = ok.groupBy("fp").agg(F.collect_list("doc_id").alias("ids"))
     return (
-        ok.withColumnRenamed("doc_id", "src")
-        .join(ok.withColumnRenamed("doc_id", "dst"), ["fp"])
+        grouped.select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
@@ -306,7 +322,9 @@ def simhash_docs(
                 {"doc_id": pdf[id_col].astype(str), "simhash": out.view(np.int64)}
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    from mhap_spark.parallel import spread
+
+    return spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, SIMHASH_SCHEMA
     )
 
@@ -357,16 +375,22 @@ def simhash_pairs_from_sketches(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
-    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
-        F.count(F.lit(1)).alias("bs")
+    from pyspark.sql import Window
+
+    # one-pass bucket-capped pair emission (round-6, guide §2.4; same shape
+    # as substring_dup_pairs): window count + filter + collect_list of
+    # (doc_id, simhash) structs on ONE exchange — the former sizes-join +
+    # chunk self-join evaluated the SimHash kernel four times.
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    ok = chunks.withColumn("bs", F.count(F.lit(1)).over(w)).where(
+        F.col("bs").between(2, max_bucket_size)
     )
-    chunks = chunks.join(
-        sizes.where(F.col("bs").between(2, max_bucket_size)),
-        ["chunk_idx", "chunk_val"],
-    ).drop("bs")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    grouped = ok.groupBy("chunk_idx", "chunk_val").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
+    )
     return (
-        l.join(r, on=["chunk_idx", "chunk_val"])
+        grouped.select(F.explode("ms").alias("l"), "ms")
+        .select("l", F.explode("ms").alias("r"))
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("src"),

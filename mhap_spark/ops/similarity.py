@@ -111,27 +111,34 @@ def embedding_near_dup_pairs(
             "embedding_near_dup_pairs is the exact quadratic baseline; for "
             "scale use lsh_bucketed_neighbors or ivf_neighbors"
         )
+    from pyspark.sql import Window
+
+    # Round-6 physical rewrite (same output, pinned bit-exact — see
+    # _block_cos_pairs_pdf): the former sizes-join + blocked self-join
+    # evaluated the scan+norm subtree three times and computed every
+    # within-block cosine through interpreted higher-order folds INSIDE the
+    # single scan task (plan audit: the BroadcastHashJoin pair generation
+    # never shuffled, so ~200k 64-dim folds ran on one core).  Now: one
+    # subtree, block sizing as a window count on the blk exchange (over-cap
+    # blocks are dropped BEFORE applyInPandas materializes a group, keeping
+    # the hot-block guard), and the pairwise cosines run vectorized per
+    # block in numpy.  The cos_sim values are the identical float64
+    # fold chain, so the ≥ min_cos gate and the 6dp rounding cannot flip.
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), "vec", "norm"
     )
-    sizes = base.groupBy("blk").agg(F.count(F.lit(1)).alias("bs"))
-    base = base.join(
-        sizes.where(F.col("bs").between(2, max_block_size)), ["blk"]
-    ).drop("bs")
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.id") < F.col("r.id")])
-        .select(
-            F.col("l.id").alias("src"),
-            F.col("r.id").alias("dst"),
-            (
-                _dot(F.col("l.vec"), F.col("r.vec"))
-                / (F.col("l.norm") * F.col("r.norm"))
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= min_cos)
-        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    wblk = Window.partitionBy("blk")
+    eligible = base.withColumn("bs", F.count(F.lit(1)).over(wblk)).where(
+        F.col("bs").between(2, max_block_size)
     )
+
+    def block_pairs(pdf):
+        return _block_cos_pairs_pdf(pdf, min_cos)
+
+    pairs = eligible.groupBy("blk").applyInPandas(
+        block_pairs, _block_pair_schema(df.schema[id_col].dataType)
+    )
+    return pairs.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def embedding_dedup_keep(
@@ -178,6 +185,69 @@ def embedding_dedup_keep(
         driver_finish_edges=driver_finish_edges,
         no_broadcast_hints=no_broadcast_hints,
     ).select(F.col("image_id").alias(id_col), "cluster_id", "keep")
+
+
+def _block_cos_pairs_pdf(pdf, min_cos: float):
+    """All (src < dst, cos ≥ min_cos) pairs within ONE block of rows
+    ``(id, vec array<double>, norm double)`` — the vectorized counterpart of
+    the JVM expression ``_dot(l.vec, r.vec) / (l.norm * r.norm)``.
+
+    BIT-EXACT with the JVM fold by construction: the dot product is
+    accumulated position-by-position (``acc += X[:,k] * Y[:,k]``), so every
+    pair's value is the identical left-to-right float64
+    multiply-then-add chain ``((0 + x0·y0) + x1·y1) + …`` the higher-order
+    ``aggregate(zip_with(...))`` expression evaluates — numpy ufuncs round
+    each intermediate exactly like the JVM (no FMA fusion across separate
+    ufunc calls).  The denominator is ``norm_i · norm_j`` then one divide,
+    same as the column expression.  Pinned by
+    tests/test_ops.py::test_block_cos_kernel_bit_exact.
+
+    Row chunking bounds the (rows × block) scratch matrix; pair emission is
+    upper-triangle in ascending-id order, matching ``l.id < r.id`` (UTF-8
+    byte order equals code-point order, so string ids sort identically)."""
+    import pandas as pd
+
+    ids_raw = pdf["id"].to_numpy()
+    order = np.argsort(ids_raw, kind="stable")
+    ids = ids_raw[order]
+    X = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+    nrm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+    n = len(ids)
+    srcs, dsts, sims = [], [], []
+    ch = max(1, (1 << 22) // max(n, 1))  # ≈32 MB float64 scratch per chunk
+    col_j = np.arange(n)[None, :]
+    for lo in range(0, n, ch):
+        hi = min(lo + ch, n)
+        acc = np.zeros((hi - lo, n))
+        for k in range(X.shape[1]):
+            acc += X[lo:hi, k][:, None] * X[:, k][None, :]
+        cos = acc / (nrm[lo:hi][:, None] * nrm[None, :])
+        m = (cos >= min_cos) & (col_j > np.arange(lo, hi)[:, None])
+        r, c = np.nonzero(m)
+        srcs.append(ids[r + lo])
+        dsts.append(ids[c])
+        sims.append(cos[r, c])
+    if not srcs:
+        return pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+    return pd.DataFrame(
+        {
+            "src": np.concatenate(srcs),
+            "dst": np.concatenate(dsts),
+            "cos_sim": np.concatenate(sims),
+        }
+    )
+
+
+def _block_pair_schema(id_type):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("src", id_type),
+            StructField("dst", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
 
 
 def _rescore_pairs(cand, vecs, min_cos: float):
@@ -323,14 +393,33 @@ def ivf_neighbors(
     n_probe = min(n_probe, len(C))
 
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
 
+    # Round-6 physical rewrite (same output): the former shape computed
+    # id-only cells, self-joined them per cell, deduped, and joined the
+    # vectors back twice for an interpreted-fold rescore — the plan audit
+    # measured 4 assignment-kernel executions and ~1M interpreted 64-dim
+    # folds per query (≈2 s of the 3 s total).  Now the assignment kernel
+    # rides on with_unit_vectors output (the JVM-cast vec and JVM-fold norm
+    # pass through it untouched), cell sizing is a window count on the cell
+    # exchange, and the within-cell cosines run vectorized per cell through
+    # the bit-exact _block_cos_pairs_pdf kernel — one kernel execution, no
+    # rescore joins.  Byte trade at scale: vectors now cross the shuffle
+    # once per (row, probe) instead of twice per surviving candidate —
+    # strictly fewer bytes whenever candidates exceed n_probe/2 × corpus,
+    # the regime every collision-heavy corpus (and this one, 1M candidates
+    # from 2k rows) is in; the cell cap still bounds any one task's block.
     # id type follows the input (same round-3 ADVICE fix as
     # lsh_bucketed_neighbors — string ids must not hit a LongType field)
     out_schema = StructType(
         [
             StructField("id", df.schema[id_col].dataType),
             StructField("cell", IntegerType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("norm", DoubleType()),
         ]
     )
 
@@ -338,42 +427,44 @@ def ivf_neighbors(
         for pdf in batches:
             if not len(pdf):  # empty Arrow batch → np.array([]) is 1-D
                 continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            X = np.array(pdf["vec"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             ok = norms[:, 0] > 0
             Xn = X[ok] / norms[ok]
             sims = Xn @ C.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
-            ids = pdf["id"].to_numpy()[ok]
             yield pd.DataFrame(
                 {
-                    "id": np.repeat(ids, n_probe),
+                    "id": np.repeat(pdf["id"].to_numpy()[ok], n_probe),
                     "cell": top.ravel().astype(np.int32),
+                    "vec": np.repeat(pdf["vec"].to_numpy()[ok], n_probe),
+                    "norm": np.repeat(pdf["norm"].to_numpy()[ok], n_probe),
                 }
             )
 
-    cells = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        # null vectors can't be assigned (np.array(list-with-None) raises in
-        # the worker); with_unit_vectors drops them from the rescore side too
-        .where(F.col("v").isNotNull())
-        .mapInPandas(assign, out_schema)
-    )
-    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("bs"))
-    ok_cells = cells.join(
-        sizes.where(F.col("bs").between(2, max_bucket_size)), ["cell"]
-    ).drop("bs")
-    cand = (
-        ok_cells.withColumnRenamed("id", "src")
-        .join(ok_cells.withColumnRenamed("id", "dst"), ["cell"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
-    )
+    from mhap_spark.parallel import spread
+
     vecs = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
     )
-    return _rescore_pairs(cand, vecs, min_cos)
+    cells = spread(vecs).mapInPandas(assign, out_schema)
+    wcell = Window.partitionBy("cell")
+    ok_cells = cells.withColumn("bs", F.count(F.lit(1)).over(wcell)).where(
+        F.col("bs").between(2, max_bucket_size)
+    )
+
+    def cell_pairs(pdf):
+        return _block_cos_pairs_pdf(pdf, min_cos)
+
+    pairs = ok_cells.groupBy("cell").applyInPandas(
+        cell_pairs, _block_pair_schema(df.schema[id_col].dataType)
+    )
+    # multi-probe: a pair straddling several shared cells is scored in each;
+    # the values are identical (deterministic per pair), dedup keeps one
+    return (
+        pairs.dropDuplicates(["src", "dst"])
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )
 
 
 def lsh_bucketed_neighbors(
@@ -449,9 +540,16 @@ def lsh_bucketed_neighbors(
 
     import pandas as pd
     from pyspark.sql.types import (
-        IntegerType, LongType, StructField, StructType,
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
+    # Round-6 physical rewrite (same output; mirrors ivf_neighbors): the
+    # former id-only codes + bucket self-join + two rescore joins evaluated
+    # the hyperplane kernel four times and rescored every collision through
+    # interpreted folds; now vec/norm (JVM-computed by with_unit_vectors)
+    # pass through the code kernel, bucket sizing is a window count on the
+    # bucket exchange, and within-bucket cosines run vectorized per bucket
+    # through the bit-exact _block_cos_pairs_pdf kernel.
     # id passes through the kernel untouched — its Arrow type must match the
     # caller's id_col (string image_ids elsewhere in the repo), not a
     # hardcoded long (round-3 ADVICE fix)
@@ -460,6 +558,8 @@ def lsh_bucketed_neighbors(
             StructField("id", df.schema[id_col].dataType),
             StructField("table_idx", IntegerType()),
             StructField("bucket", LongType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("norm", DoubleType()),
         ]
     )
 
@@ -471,33 +571,34 @@ def lsh_bucketed_neighbors(
             bits = (X @ P.T) > 0  # (n, n_tables·n_bits)
             bits = bits.reshape(len(X), n_tables_, -1).astype(np.uint64)
             codes = (bits * weights).sum(axis=2).astype(np.uint64)  # (n, n_tables)
-            ids = pdf["id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "id": np.repeat(ids, n_tables_),
+                    "id": np.repeat(pdf["id"].to_numpy(), n_tables_),
                     "table_idx": np.tile(
                         np.arange(n_tables_, dtype=np.int32), len(X)
                     ),
                     "bucket": codes.reshape(-1).view(np.int64),
+                    "vec": np.repeat(pdf["vec"].to_numpy(), n_tables_),
+                    "norm": np.repeat(pdf["norm"].to_numpy(), n_tables_),
                 }
             )
 
-    buckets = base.select("id", "vec").mapInPandas(bucket_codes, code_schema)
+    from mhap_spark.parallel import spread
 
-    sizes = buckets.groupBy("table_idx", "bucket").agg(
-        F.count(F.lit(1)).alias("bs")
-    )
-    eligible = buckets.join(
-        sizes.where(F.col("bs").between(2, max_bucket_size)),
-        ["table_idx", "bucket"],
-    ).drop("bs")
+    buckets = spread(base).mapInPandas(bucket_codes, code_schema)
 
-    cand = (
-        eligible.withColumnRenamed("id", "src")
-        .join(eligible.withColumnRenamed("id", "dst"), on=["table_idx", "bucket"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
+    wbkt = Window.partitionBy("table_idx", "bucket")
+    eligible = buckets.withColumn("bs", F.count(F.lit(1)).over(wbkt)).where(
+        F.col("bs").between(2, max_bucket_size)
     )
-    vecs = base.select("id", "vec", "norm")
-    return _rescore_pairs(cand, vecs, min_cos)
+
+    def bucket_pairs(pdf):
+        return _block_cos_pairs_pdf(pdf, min_cos)
+
+    pairs = eligible.groupBy("table_idx", "bucket").applyInPandas(
+        bucket_pairs, _block_pair_schema(df.schema[id_col].dataType)
+    )
+    return (
+        pairs.dropDuplicates(["src", "dst"])
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+    )

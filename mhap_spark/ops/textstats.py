@@ -146,6 +146,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                 }
             )
 
+    # NOTE round-6: a conditional repartition (parallel.spread) was tried
+    # here and REGRESSED the query (0.42 s → 0.7-1.4 s at sf0.1): this
+    # kernel is ~0.2 s of pandas .str.count work, less than the cost of the
+    # added exchange plus 32 python-worker spin-ups.  Light kernels stay on
+    # the scan's own partitioning; heavy kernels (MinHash/SimHash/winnow)
+    # use spread.
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         gen, _lang_schema(df.schema[id_col].dataType)
     )
@@ -184,6 +190,7 @@ def fingerprint(
                 }
             )
 
+    # see lang_id: spread() measured as a regression for this light kernel
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         gen, _fp_schema(df.schema[id_col].dataType)
     )

@@ -542,3 +542,53 @@ def test_minhash_doc_pairs_phash_cfg_no_manufactured_overlap(spark, docs):
     # lit(0) placeholder they shared every phash shingle and always collided
     for bad in (("3", "5"), ("5", "3"), ("3", "4"), ("4", "5")):
         assert bad not in got
+
+
+def test_block_cos_kernel_bit_exact(spark):
+    """The round-6 vectorized block-cosine kernel must be BIT-identical to
+    the interpreted JVM fold it replaced: same left-to-right float64
+    multiply-add chain, same norm product, same >= gate.  Compares every
+    surviving pair's raw float64 bits between the new embedding_near_dup
+    path and the original zip_with/aggregate expression on a seeded corpus
+    whose cos values densely straddle the gate."""
+    from pyspark.sql import functions as F
+
+    from mhap_spark.ops.similarity import _dot, with_unit_vectors
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 23  # odd dim: exercises non-multiple-of-SIMD folds
+    base = rng.standard_normal((4, d))
+    X = base[rng.integers(0, 4, n)] + 0.6 * rng.standard_normal((n, d))
+    rows = [(i, int(i % 3), [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    new = {
+        (r["src"], r["dst"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(
+            df, min_cos=0.5, block_col="label"
+        ).collect()
+    }
+
+    # reference: the pre-round-6 expression shape (sizes-join + self-join +
+    # interpreted fold), raw values rounded the same way
+    b = with_unit_vectors(df, "embedding").select(
+        F.col("vec_id").alias("id"), F.col("label").alias("blk"), "vec", "norm"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    old = {
+        (row["src"], row["dst"]): row["cos_sim"]
+        for row in (
+            l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.id") < F.col("r.id")])
+            .select(
+                F.col("l.id").alias("src"),
+                F.col("r.id").alias("dst"),
+                (_dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.norm") * F.col("r.norm"))).alias("raw"),
+            )
+            .where(F.col("raw") >= 0.5)
+            .select("src", "dst", F.round("raw", 6).alias("cos_sim"))
+            .collect()
+        )
+    }
+    assert new.keys() == old.keys()
+    for k in old:
+        assert new[k] == old[k], (k, new[k], old[k])
