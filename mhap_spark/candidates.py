@@ -192,58 +192,83 @@ def _pairs_star(
     (see candidate_pairs); salt assignment is crc32 so the numpy oracle
     (zlib.crc32) replicates it bit-exactly.
 
-    Physical shape: ONE groupBy computes bucket size AND hub together, then
-    equi-joins back to the exploded bands reuse that exchange (same key) —
-    no extra shuffle of the big side.  The oversize path adds one shuffle
-    of only the oversize rows on (band_hash, salt), whose key cardinality
-    is bounded by the salt fan-out."""
-    stats = bands.groupBy("band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size"),
-        F.min("image_id").alias("src"),
+    Physical shape (round-6 rewrite, guide §2.4): ONE window over the
+    band_hash exchange computes bucket size AND hub attached to every band
+    row, so edge emission is a filter + projection — no stats aggregation
+    joined back, no second shuffle of the exploded bands (the pre-round-6
+    groupBy+join form shuffled the 128-band explosion twice and re-scanned
+    the signature cache for each side; the wave profile measured those as
+    the largest candidate-stage jobs).  WindowExec sorts and spills, never
+    materializes a bucket, so the mega-bucket discipline is unchanged.  The
+    oversize path adds one shuffle of only the oversize rows on
+    (band_hash, salt), whose key cardinality is bounded by the salt
+    fan-out.  The funnel Observation moves to the window output: hub rows
+    (image_id == src, exactly one per bucket) carry the per-bucket metrics,
+    so the aggregate values are identical to the old one-row-per-bucket
+    form — pinned exact by tests/test_star_mode.py (including the oversize
+    mega adversary)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_hash")
+    sized = bands.select(
+        "band_hash",
+        "image_id",
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+        F.min("image_id").over(w).alias("src"),
     )
     if funnel_obs is not None:
-        stats = stats.observe(funnel_obs, *_funnel_exprs(cfg))
-    eligible = stats.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
-    )
-    # bucket-stats sides scale with the bucket count (tens of millions of
-    # rows at 3M input): shuffle_hash keeps the band_hash exchange reused
-    # and forbids the AQE broadcast flip (round-4 scale cliff class)
+        is_hub = F.col("image_id") == F.col("src")
+        star_salt = cfg.oversize_star == "salt"
+        counted = (
+            F.col("bucket_size") >= 2
+            if star_salt
+            else F.col("bucket_size").between(2, cfg.max_bucket_size)
+        )
+        sized = sized.observe(
+            funnel_obs,
+            F.sum(F.when(is_hub, 1).otherwise(0)).alias("n_buckets"),
+            F.sum(
+                F.when(is_hub & (F.col("bucket_size") > cfg.max_bucket_size), 1)
+                .otherwise(0)
+            ).alias("n_buckets_capped"),
+            F.max("bucket_size").alias("max_bucket_size_seen"),
+            F.sum(
+                F.when(is_hub & counted, F.col("bucket_size") - 1).otherwise(0)
+            ).alias("candidate_pairs_generated"),
+        )
     edges = (
-        bands.join(scaled(eligible, cfg), ["band_hash"])
-        .where(F.col("image_id") != F.col("src"))
+        sized.where(
+            F.col("bucket_size").between(2, cfg.max_bucket_size)
+            & (F.col("image_id") != F.col("src"))
+        )
         .select("src", F.col("image_id").alias("dst"), F.lit(False).alias("oversize"))
     )
     if cfg.oversize_star != "salt":
         return edges
 
     cap = cfg.max_bucket_size
-    over = stats.where(F.col("bucket_size") > cap).select(
-        "band_hash",
-        "src",
-        F.expr(f"(bucket_size + {cap - 1}) div {cap}").alias("n_salt"),
+    salted = sized.where(F.col("bucket_size") > cap).withColumn(
+        "salt",
+        F.pmod(
+            F.crc32(F.encode("image_id", "UTF-8")),
+            F.expr(f"(bucket_size + {cap - 1}) div {cap}"),
+        ),
     )
-    salted = bands.join(scaled(over, cfg), ["band_hash"]).withColumn(
-        "salt", F.pmod(F.crc32(F.encode("image_id", "UTF-8")), F.col("n_salt"))
+    w2 = Window.partitionBy("band_hash", "salt")
+    sub_sized = salted.select(
+        "image_id", "src", F.min("image_id").over(w2).alias("sub_hub")
     )
-    sub = salted.groupBy("band_hash", "salt").agg(
-        F.min("image_id").alias("sub_hub"), F.first("src").alias("src")
+    member_edges = sub_sized.where(F.col("image_id") != F.col("sub_hub")).select(
+        F.col("sub_hub").alias("src"),
+        F.col("image_id").alias("dst"),
+        F.lit(True).alias("oversize"),
     )
-    member_edges = (
-        salted.join(
-            scaled(sub.select("band_hash", "salt", "sub_hub"), cfg),
-            ["band_hash", "salt"],
-        )
-        .where(F.col("image_id") != F.col("sub_hub"))
-        .select(
-            F.col("sub_hub").alias("src"),
-            F.col("image_id").alias("dst"),
-            F.lit(True).alias("oversize"),
-        )
-    )
-    hub_edges = sub.where(F.col("sub_hub") != F.col("src")).select(
-        "src", F.col("sub_hub").alias("dst"), F.lit(True).alias("oversize")
-    )
+    # rows where image_id == sub_hub stand for their (band_hash, salt)
+    # sub-bucket exactly once — the same one-row-per-sub-bucket set the old
+    # groupBy produced
+    hub_edges = sub_sized.where(
+        (F.col("image_id") == F.col("sub_hub")) & (F.col("sub_hub") != F.col("src"))
+    ).select("src", F.col("sub_hub").alias("dst"), F.lit(True).alias("oversize"))
     return edges.unionByName(member_edges).unionByName(hub_edges)
 
 
