@@ -236,40 +236,59 @@ def _pairs_star(
                 F.when(is_hub & counted, F.col("bucket_size") - 1).otherwise(0)
             ).alias("candidate_pairs_generated"),
         )
-    edges = (
-        sized.where(
-            F.col("bucket_size").between(2, cfg.max_bucket_size)
-            & (F.col("image_id") != F.col("src"))
-        )
-        .select("src", F.col("image_id").alias("dst"), F.lit(False).alias("oversize"))
-    )
     if cfg.oversize_star != "salt":
-        return edges
+        return (
+            sized.where(
+                F.col("bucket_size").between(2, cfg.max_bucket_size)
+                & (F.col("image_id") != F.col("src"))
+            )
+            .select(
+                "src", F.col("image_id").alias("dst"),
+                F.lit(False).alias("oversize"),
+            )
+        )
 
+    # Salt path, fused into the SAME chain: every row emits AT MOST ONE edge
+    # (normal member → hub edge; oversize member → sub-hub edge; oversize
+    # sub-hub row → chain edge to the bucket min), so the three former
+    # union branches collapse to one CASE projection.  The sub-hub window
+    # partitions by (band_hash, salt) — a superset of the band_hash hash
+    # partitioning already established, so it adds only a per-partition
+    # sort, no exchange, and the whole star emission is one linear plan
+    # (the union form re-executed the bucket-size window once per branch).
+    # A bucket is entirely normal or entirely oversize (size is a bucket
+    # property), so the salt-0 groups of normal buckets never mix with
+    # oversize sub-buckets.
     cap = cfg.max_bucket_size
-    salted = sized.where(F.col("bucket_size") > cap).withColumn(
+    over = F.col("bucket_size") > cap
+    salted = sized.withColumn(
         "salt",
-        F.pmod(
-            F.crc32(F.encode("image_id", "UTF-8")),
-            F.expr(f"(bucket_size + {cap - 1}) div {cap}"),
-        ),
+        F.when(
+            over,
+            F.pmod(
+                F.crc32(F.encode("image_id", "UTF-8")),
+                F.expr(f"(bucket_size + {cap - 1}) div {cap}"),
+            ),
+        ).otherwise(F.lit(0)),
     )
     w2 = Window.partitionBy("band_hash", "salt")
-    sub_sized = salted.select(
-        "image_id", "src", F.min("image_id").over(w2).alias("sub_hub")
+    sub = salted.withColumn("sub_hub", F.min("image_id").over(w2))
+    is_subhub = F.col("image_id") == F.col("sub_hub")
+    keep = F.when(
+        over,
+        F.when(is_subhub, F.col("sub_hub") != F.col("src")).otherwise(F.lit(True)),
+    ).otherwise(
+        (F.col("bucket_size") >= 2) & (F.col("image_id") != F.col("src"))
     )
-    member_edges = sub_sized.where(F.col("image_id") != F.col("sub_hub")).select(
-        F.col("sub_hub").alias("src"),
-        F.col("image_id").alias("dst"),
-        F.lit(True).alias("oversize"),
+    return sub.where(keep).select(
+        F.when(over & ~is_subhub, F.col("sub_hub"))
+        .otherwise(F.col("src"))
+        .alias("src"),
+        F.when(over & is_subhub, F.col("sub_hub"))
+        .otherwise(F.col("image_id"))
+        .alias("dst"),
+        over.alias("oversize"),
     )
-    # rows where image_id == sub_hub stand for their (band_hash, salt)
-    # sub-bucket exactly once — the same one-row-per-sub-bucket set the old
-    # groupBy produced
-    hub_edges = sub_sized.where(
-        (F.col("image_id") == F.col("sub_hub")) & (F.col("sub_hub") != F.col("src"))
-    ).select("src", F.col("sub_hub").alias("dst"), F.lit(True).alias("oversize"))
-    return edges.unionByName(member_edges).unionByName(hub_edges)
 
 
 def probe_candidates(
