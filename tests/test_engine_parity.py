@@ -412,3 +412,45 @@ def test_batch_minhash_rejects_zero_weights():
     w = np.array([1, 0, 2], dtype=np.int64)
     with pytest.raises(ValueError, match="weights >= 1"):
         batch_minhash(rows, keys, w, starts, 16)
+
+
+def test_minhash_stream_dedup_identical():
+    """The round-6 (key, weight)-stream dedup inside _minhash_block must be
+    bit-identical to independent per-row computation.  Rows here share a
+    small vocabulary (heavy cross-row duplication → the dedup gather path),
+    while each single-row call sees only distinct (key, weight) pairs and
+    takes the no-dedup path — so the two code paths check each other."""
+    import mhap_spark.minhash as mh
+
+    rng = np.random.default_rng(23)
+    vocab = rng.integers(1, 2**63, size=40, dtype=np.uint64)
+    n_rows = 120
+    counts = rng.integers(1, 30, size=n_rows)
+    row_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_starts[1:])
+    n_keys = int(row_starts[-1])
+    # distinct keys per row, drawn from the shared vocabulary
+    keys = np.concatenate(
+        [
+            np.sort(rng.choice(vocab, size=c, replace=False))
+            for c in counts
+        ]
+    )
+    rows = np.repeat(np.arange(n_rows), counts)
+    # weight is a function of the key (like tf=1 idf weighting), plus a few
+    # per-row overrides so some keys appear under MULTIPLE weights
+    wmap = {int(k): int(w) for k, w in zip(vocab, rng.integers(1, 5, size=len(vocab)))}
+    weights = np.array([wmap[int(k)] for k in keys], dtype=np.int64)
+    weights[rng.integers(0, n_keys, size=n_keys // 10)] += 1
+
+    got = mh._minhash_block(rows, keys, weights, row_starts, 48)
+    for i in range(n_rows):
+        a, b = row_starts[i], row_starts[i + 1]
+        solo = mh._minhash_block(
+            np.zeros(b - a, dtype=np.int64),
+            keys[a:b],
+            weights[a:b],
+            np.array([0, b - a], dtype=np.int64),
+            48,
+        )
+        assert np.array_equal(got[i], solo[0]), f"row {i} diverged"
