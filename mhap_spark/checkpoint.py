@@ -197,7 +197,21 @@ class CheckpointStore:
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         if self.fmt == "iceberg":
             return spark.read.table(self._table(stage))
-        entry = self._manifest().get(stage) or {}
+        entry = self._manifest().get(stage)
+        if entry is None:
+            # round-6 (round-5 ADVICE): under the versioned layout the bare
+            # stage dir can hold SEVERAL version subdirs (e.g. a dangling
+            # one from a crashed write); reading it as parquet would union
+            # their part files and silently return duplicated/mixed rows.
+            # A missing manifest entry is therefore an error, not a
+            # flat-layout fallback (legacy flat checkpoints keep working:
+            # their manifest entries exist and lack only the "path" key,
+            # which _stage_data_path handles).
+            raise KeyError(
+                f"checkpoint manifest has no entry for stage {stage!r} in "
+                f"{self.base_dir}; refusing to read the bare stage dir "
+                "(it may hold multiple version subdirs)"
+            )
         return spark.read.parquet(self._stage_data_path(entry, stage))
 
     def write_metrics(self, spark: SparkSession, stage: str, metrics: dict) -> None:

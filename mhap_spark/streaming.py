@@ -402,6 +402,31 @@ class IncrementalDedup:
             os.path.join(self.match_path, f"batch_id={batch_id}")
         )
         if self.keep_manifest:
+            # round-6 (round-5 ADVICE): the keep manifest's documented
+            # precondition — image_id unique across the stream's lifetime —
+            # must fail LOUDLY: an id recurring in a later batch would be
+            # classified as an intra-batch match below and its pair's drop
+            # decision mis-oriented, silently violating first-arrival-wins.
+            # One cheap left-semi count per batch, only when the manifest is
+            # enabled (the benched probe path is unchanged).
+            if _has_committed_data(self.sig_path):
+                earlier_ids = (
+                    spark.read.parquet(self.sig_path)
+                    .where(F.col("batch_id") < F.lit(batch_id))
+                    .select("image_id")
+                )
+                n_recur = (
+                    batch_df.select("image_id")
+                    .join(earlier_ids, "image_id", "left_semi")
+                    .count()
+                )
+                if n_recur:
+                    raise ValueError(
+                        f"keep_manifest precondition violated: {n_recur} "
+                        f"image_id(s) of batch {batch_id} already appear in "
+                        "earlier batches; ids must be unique across the "
+                        "stream's lifetime for first-arrival-wins decisions"
+                    )
             # classify each match by whether dst is in THIS batch: pairs-mode
             # intra-batch matches are canonical src < dst (drop dst), while
             # cross-batch probe matches carry the probe row in src and the

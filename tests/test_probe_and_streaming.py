@@ -490,3 +490,18 @@ def test_incremental_dedup_rejects_star_mode(tmp_path):
     assert PRESET_SCALE.candidate_mode == "star"
     with pytest.raises(ValueError, match="candidate_mode='pairs'"):
         IncrementalDedup(str(tmp_path), PRESET_SCALE)
+
+
+def test_keep_manifest_rejects_recurring_ids(spark, tmp_path):
+    """round-6 ADVICE guard: keep_manifest's documented precondition
+    (image_id unique across the stream) must fail loudly — an id recurring
+    in a later batch would silently mis-orient that pair's drop decision."""
+    import pytest
+
+    corpus = generate_corpus(60, seed=9)
+    rows = corpus_to_rows(corpus)
+    df = spark.createDataFrame(rows, INPUT_SCHEMA_DDL)
+    sink = IncrementalDedup(str(tmp_path / "d"), CFG, keep_manifest=True)
+    sink.process_batch(df, 0)
+    with pytest.raises(ValueError, match="keep_manifest precondition"):
+        sink.process_batch(df, 1)  # same ids again in a later batch
