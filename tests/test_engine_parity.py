@@ -454,3 +454,22 @@ def test_minhash_stream_dedup_identical():
             48,
         )
         assert np.array_equal(got[i], solo[0]), f"row {i} diverged"
+
+
+def test_verified_pairs_arrow_impl_equals_jvm(spark, corpus, oracle_state, engine_sigs):
+    """The vectorized Arrow jaccard kernel (round-6 rewrite of
+    bottom_k_jaccard_batch) must produce value-identical verified pairs to
+    the JVM expression path — jaccard is integer hits / integer k, so the
+    two implementations share every bit."""
+    sig_df, _ = engine_sigs
+    cands = candidate_pairs(sig_df, CFG)
+    jvm = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"], r["score"])
+        for r in verified_pairs(cands, sig_df, CFG, impl="jvm").collect()
+    }
+    arrow = {
+        (r["src"], r["dst"]): (r["votes"], r["jaccard"], r["score"])
+        for r in verified_pairs(cands, sig_df, CFG, impl="arrow").collect()
+    }
+    assert jvm == arrow
+    assert jvm, "fixture must verify at least one pair"
